@@ -1,0 +1,140 @@
+"""Frozen, hashable configuration dataclasses.
+
+TPU-native rebuild of the reference's per-script argparse configuration
+(SURVEY.md §5 "Config / flag system"). Frozen dataclasses are hashable and
+therefore usable as `jax.jit` static arguments, which keeps every shape and
+loop bound static inside the compiled pipeline (an XLA requirement the
+reference never had to care about).
+
+Reference behavior contract: BASELINE.json:5 (north star) and the five
+benchmark configs BASELINE.json:6-12. The reference checkout was empty at
+survey time (SURVEY.md §0), so numeric defaults mirror OpenCV's documented
+defaults for `calcOpticalFlowFarneback` / `calcOpticalFlowPyrLK`, which are
+the parity oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class FlowConfig:
+    """Dense / sparse optical-flow parameters.
+
+    Field semantics mirror `cv2.calcOpticalFlowFarneback` and
+    `cv2.calcOpticalFlowPyrLK` so the oracle and the TPU path are driven by
+    one object.
+    """
+
+    method: str = "farneback"  # "farneback" | "lk_dense" | "lk_sparse"
+    # --- shared pyramid controls ---
+    levels: int = 5            # number of pyramid levels (incl. base)
+    pyr_scale: float = 0.5     # Farneback inter-level scale (0 < s < 1)
+    # --- Farneback ---
+    winsize: int = 15          # neighborhood for flow averaging
+    iterations: int = 3        # refinement iterations per level
+    poly_n: int = 5            # polynomial-expansion neighborhood (5 or 7)
+    poly_sigma: float = 1.1    # Gaussian applicability sigma
+    gaussian_win: bool = False  # OPTFLOW_FARNEBACK_GAUSSIAN
+    # --- Lucas-Kanade ---
+    lk_winsize: int = 21       # LK integration window (odd)
+    lk_max_iter: int = 10      # termination criteria maxCount
+    lk_eps: float = 0.01       # termination criteria epsilon
+    lk_min_eig: float = 1e-4   # minEigThreshold
+
+    def __post_init__(self):
+        if self.method not in ("farneback", "lk_dense", "lk_sparse"):
+            raise ValueError(f"unknown flow method {self.method!r}")
+        if not (0.0 < self.pyr_scale < 1.0):
+            raise ValueError("pyr_scale must be in (0, 1)")
+        if self.poly_n % 2 == 0 or self.lk_winsize % 2 == 0:
+            raise ValueError("poly_n and lk_winsize must be odd")
+
+
+@dataclass(frozen=True)
+class EkfConfig:
+    """Per-track (extended) Kalman filter parameters.
+
+    Math contract (BASELINE.json:5 / SURVEY.md §2.3): predict x=Fx,
+    P=FPF^T+Q; update with Cholesky innovation solve and Joseph-form
+    covariance. State models: 4-state constant velocity [x,y,vx,vy]
+    (BASELINE.json:7) and 6-state constant acceleration (BASELINE.json:9).
+    """
+
+    state_dim: int = 4          # 4 (constant velocity) | 6 (constant accel)
+    dt: float = 1.0             # frame interval
+    q: float = 0.05             # process-noise spectral density (accel^2)
+    r: float = 0.25             # measurement noise variance (px^2)
+    p0_pos: float = 1.0         # initial position variance
+    p0_vel: float = 10.0        # initial velocity variance
+    p0_acc: float = 10.0        # initial acceleration variance (6-state)
+    measurement: str = "position"  # "position" (linear KF) | "implicit_flow" (EKF)
+    iekf_iters: int = 1         # >1 enables the iterated-EKF variant
+    gate_chi2: float = 9.21     # chi^2(2 dof, 0.99) NIS gate
+    max_misses: int = 5         # consecutive gated frames before re-seed
+
+    def __post_init__(self):
+        if self.state_dim not in (4, 6):
+            raise ValueError("state_dim must be 4 or 6")
+        if self.measurement not in ("position", "implicit_flow"):
+            raise ValueError(f"unknown measurement model {self.measurement!r}")
+
+
+@dataclass(frozen=True)
+class TrackConfig:
+    """Track seeding / lifecycle (fixed-capacity pool, SURVEY.md §7)."""
+
+    num_tracks: int = 256       # fixed pool size (static shape under jit)
+    quality_level: float = 0.01  # goodFeaturesToTrack quality ratio
+    min_distance: float = 8.0   # NMS radius for seeding
+    corner_block: int = 3       # structure-tensor window for Shi-Tomasi
+    reinit: bool = True         # occlusion-gated re-seeding (BASELINE.json:11)
+    corner_pool: int = 512      # per-frame candidate corners kept for re-init
+
+
+@dataclass(frozen=True)
+class SmoothConfig:
+    """RTS smoother (BASELINE.json:11)."""
+
+    enabled: bool = False
+    chunk: int = 64             # backward-pass chunk length (memory plan §3.4)
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Top-level pipeline configuration (one video -> trajectories)."""
+
+    flow: FlowConfig = FlowConfig()
+    ekf: EkfConfig = EkfConfig()
+    tracks: TrackConfig = TrackConfig()
+    smooth: SmoothConfig = SmoothConfig()
+    impl: str = "xla"           # "xla" | "pallas" kernel backend
+    dtype: str = "float32"
+    data_axis: str = "data"     # mesh axis name for clip-parallel sharding
+
+    def __post_init__(self):
+        if self.impl not in ("xla", "pallas"):
+            raise ValueError(f"unknown impl {self.impl!r}")
+
+    # ---- (de)serialization for CLI / checkpointing ----
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(text: str) -> "RunConfig":
+        raw = json.loads(text)
+        return RunConfig(
+            flow=FlowConfig(**raw.get("flow", {})),
+            ekf=EkfConfig(**raw.get("ekf", {})),
+            tracks=TrackConfig(**raw.get("tracks", {})),
+            smooth=SmoothConfig(**raw.get("smooth", {})),
+            **{k: v for k, v in raw.items()
+               if k in ("impl", "dtype", "data_axis")},
+        )
+
+    def replace(self, **kw) -> "RunConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,122 @@
+"""Host-side video decode / frame streaming.
+
+Rebuild of the reference's IO layer (SURVEY.md §2.1 #8: "frame streams from
+video files"). Decode stays on host (codecs are CPU work); the pipeline layer
+owns the single host->HBM crossing per frame (BASELINE.json:5 "no frame data
+round-trips to host between decode and trajectory output").
+
+OpenCV is used only as a codec here — never for compute.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import queue
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def open_video(path: str) -> "FrameStream":
+    return FrameStream(path)
+
+
+class FrameStream:
+    """Iterates BGR uint8 frames from a video file (or .npz/.npy clip)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._cap = None
+        self._arr = None
+        if path.endswith((".npz", ".npy")):
+            if path.endswith(".npz"):
+                with np.load(path) as z:
+                    self._arr = z[list(z.keys())[0]]
+            else:
+                self._arr = np.load(path)
+            self.num_frames = len(self._arr)
+            f0 = self._arr[0]
+            self.height, self.width = f0.shape[:2]
+            self.fps = 30.0
+        else:
+            import cv2  # codec only
+            self._cap = cv2.VideoCapture(path)
+            if not self._cap.isOpened():
+                raise IOError(f"cannot open video {path!r}")
+            self.num_frames = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            self.width = int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            self.height = int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            self.fps = float(self._cap.get(cv2.CAP_PROP_FPS)) or 30.0
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        if self._arr is not None:
+            for f in self._arr:
+                yield np.ascontiguousarray(f)
+            return
+        while True:
+            ok, frame = self._cap.read()
+            if not ok:
+                break
+            yield frame
+
+    def read_all(self, limit: Optional[int] = None) -> np.ndarray:
+        """Decode the whole clip to one (T, H, W, C) array."""
+        out = []
+        for i, f in enumerate(self):
+            if limit is not None and i >= limit:
+                break
+            out.append(f)
+        return np.stack(out)
+
+    def close(self):
+        if self._cap is not None:
+            self._cap.release()
+            self._cap = None
+
+
+class PrefetchStream:
+    """Background-thread decode with a bounded queue.
+
+    Double-buffers host decode against device compute (SURVEY.md §7 "host
+    decode throughput"): the consumer pulls frame t while the worker decodes
+    t+1..t+depth.
+    """
+
+    _END = object()
+
+    def __init__(self, stream, depth: int = 4):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stream = stream
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for frame in self._stream:
+                self._q.put(frame)
+        finally:
+            self._q.put(self._END)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._END:
+                break
+            yield item
+
+
+def write_video(path: str, frames: np.ndarray, fps: float = 30.0) -> None:
+    """Write (T, H, W, 3) BGR uint8 frames (debug overlays; host, post-hoc)."""
+    if path.endswith(".npz"):
+        np.savez_compressed(path, frames=frames)
+        return
+    import cv2
+    h, w = frames.shape[1:3]
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    wr = cv2.VideoWriter(path, fourcc, fps, (w, h))
+    try:
+        for f in frames:
+            wr.write(np.ascontiguousarray(f))
+    finally:
+        wr.release()

@@ -1,0 +1,39 @@
+"""Test harness config.
+
+Forces the CPU backend with 8 fake XLA devices BEFORE jax is imported
+anywhere, so the v5e-8 data-parallel path (BASELINE.json:11) is testable
+without a real slice (SURVEY.md §4.4). Bench runs (bench.py) do NOT go
+through this file and use the real TPU.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def blob_clip():
+    """Seeded 128x128 moving-blob clip + truth (config-1 style)."""
+    from kalman_hydra_tpu.io.synthetic import moving_blob_clip
+    frames, truth = moving_blob_clip(
+        num_frames=8, height=128, width=128, num_points=8, seed=0)
+    return frames, truth
+
+
+@pytest.fixture(scope="session")
+def trans_pair():
+    """Frame pair with constant analytic flow."""
+    from kalman_hydra_tpu.io.synthetic import translating_pair
+    return translating_pair(height=128, width=128, shift=(3.0, -2.0), seed=0)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
