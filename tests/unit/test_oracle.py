@@ -51,8 +51,9 @@ def test_rts_smoother_reduces_error(rng):
     cfg = EkfConfig(state_dim=4, q=0.05, r=1.0)
     T, K = 60, 2
     v = np.array([0.8, 0.4])
-    truth = np.cumsum(np.broadcast_to(v, (T, 2)), axis=0)[:, None, :] \
-        + np.array([30.0, 40.0])
+    truth = np.broadcast_to(
+        np.cumsum(np.broadcast_to(v, (T, 2)), axis=0)[:, None, :]
+        + np.array([30.0, 40.0]), (T, K, 2)).copy()
     z = truth + rng.normal(0, 1.0, size=(T, K, 2))
     x0, P0 = ref_ekf.init_state(cfg, truth[0])
     out = ref_ekf.filter_tracks(cfg, z, x0, P0)
