@@ -1,0 +1,78 @@
+"""Public API — mirrors the reference driver scripts (BASELINE.json:5:
+"load video -> flow -> EKF tracks -> trajectory export")."""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import FlowConfig, RunConfig
+from .io.export import Trajectories, save as save_tracks
+from .io.video import FrameStream, PrefetchStream
+from . import pipeline as _pipeline
+
+
+def flow(a: np.ndarray, b: np.ndarray,
+         cfg: Optional[FlowConfig] = None) -> np.ndarray:
+    """Dense optical flow between two grayscale frames, (H, W, 2) float32.
+
+    Oracle-equivalent of cv2.calcOpticalFlowFarneback / dense pyramidal LK
+    depending on cfg.method (SURVEY.md §3.2).
+    """
+    cfg = cfg or FlowConfig()
+    a_j = jnp.asarray(np.asarray(a, dtype=np.float32))
+    b_j = jnp.asarray(np.asarray(b, dtype=np.float32))
+    if cfg.method == "farneback":
+        from .ops.farneback import farneback as _fb
+        out = jax.jit(_fb, static_argnames="cfg")(a_j, b_j, cfg)
+    elif cfg.method == "lk_dense":
+        from .ops.lk import lk_dense as _lkd
+        out = jax.jit(_lkd, static_argnames="cfg")(a_j, b_j, cfg)
+    else:
+        raise ValueError("flow() needs a dense method")
+    return np.asarray(out)
+
+
+def track_video(source: Union[str, np.ndarray],
+                cfg: Optional[RunConfig] = None,
+                out_path: Optional[str] = None,
+                streaming: bool = False,
+                max_frames: Optional[int] = None) -> Trajectories:
+    """Track a video file / (T, H, W[, 3]) uint8 array; optionally export.
+
+    The reference driver's entry point (SURVEY.md §3.1)."""
+    cfg = cfg or RunConfig()
+    if isinstance(source, str):
+        stream = FrameStream(source)
+        if streaming:
+            tracks = _pipeline.track_stream(
+                PrefetchStream(stream, depth=4), cfg)
+        else:
+            frames = stream.read_all(limit=max_frames)
+            tracks = _pipeline.track_clip(frames, cfg,
+                                          with_history=cfg.smooth.enabled)
+    else:
+        frames = source if max_frames is None else source[:max_frames]
+        if streaming:
+            tracks = _pipeline.track_stream(iter(frames), cfg)
+        else:
+            tracks = _pipeline.track_clip(frames, cfg,
+                                          with_history=cfg.smooth.enabled)
+    if out_path:
+        save_tracks(tracks, out_path)
+    return tracks
+
+
+def smooth(frames_or_tracks, cfg: Optional[RunConfig] = None) -> Trajectories:
+    """Run the pipeline with the RTS smoother enabled (BASELINE.json:11)."""
+    cfg = (cfg or RunConfig())
+    if not cfg.smooth.enabled:
+        cfg = cfg.replace(smooth=cfg.smooth.__class__(enabled=True))
+    return track_video(frames_or_tracks, cfg)
+
+
+def export(tracks: Trajectories, path: str) -> None:
+    save_tracks(tracks, path)

@@ -1,0 +1,72 @@
+"""Rauch-Tung-Striebel smoother, batched over tracks (BASELINE.json:11).
+
+Backward `lax.scan` over the stacked filter outputs (SURVEY.md §3.4):
+  C_t = P_t F^T (P-_{t+1})^-1
+  x_s = x_t + C (x_s_{t+1} - x-_{t+1})
+  P_s = P_t + C (P_s_{t+1} - P-_{t+1}) C^T
+The n x n inverse is done via Cholesky solve (n = 4 or 6). For long clips
+the caller chunks time and feeds the chunk-boundary smoothed pair in as the
+init (SURVEY.md §5 "long-context": chunked smoothing with host offload).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _chol_solve_spd(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve A X = B for batched SPD (K, n, n) A against (K, n, m) B."""
+    L = jnp.linalg.cholesky(A)
+    W = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    return jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), W, lower=False)
+
+
+def rts_smooth(F: jnp.ndarray,
+               x_filt: jnp.ndarray, P_filt: jnp.ndarray,
+               x_pred: jnp.ndarray, P_pred: jnp.ndarray,
+               init: Tuple[jnp.ndarray, jnp.ndarray] = None):
+    """Smooth a (T, K, n) filtered trajectory.
+
+    x_pred[t] / P_pred[t] are the one-step predictions *for* frame t.
+    `init` optionally provides (x_s, P_s) at the step after the last frame
+    of this chunk (for chunked smoothing); defaults to the final filtered
+    state. Returns (x_smooth (T, K, n), P_smooth (T, K, n, n)).
+    """
+    T = x_filt.shape[0]
+    if init is None:
+        xs_last, Ps_last = x_filt[-1], P_filt[-1]
+        x_f, P_f = x_filt[:-1], P_filt[:-1]
+        x_p, P_p = x_pred[1:], P_pred[1:]
+    else:
+        xs_last, Ps_last = init
+        x_f, P_f = x_filt, P_filt
+        # caller must pass predictions aligned one past each filtered step
+        x_p, P_p = x_pred, P_pred
+
+    def body(carry, inp):
+        xs_next, Ps_next = carry
+        xf, Pf, xp, Pp = inp
+        # C = Pf F^T Pp^-1  ==  solve(Pp, F Pf^T)^T
+        FPf = jnp.einsum("ij,kjl->kil", F, Pf, precision=_PREC)   # (K, n, n)
+        C = jnp.swapaxes(_chol_solve_spd(Pp, FPf), -1, -2)
+        xs = xf + jnp.einsum("kij,kj->ki", C, xs_next - xp, precision=_PREC)
+        dP = Ps_next - Pp
+        Ps = Pf + jnp.einsum("kij,kjl,kml->kim", C, dP, C, precision=_PREC)
+        Ps = 0.5 * (Ps + jnp.swapaxes(Ps, -1, -2))
+        return (xs, Ps), (xs, Ps)
+
+    (_, _), (xs_rev, Ps_rev) = lax.scan(
+        body, (xs_last, Ps_last), (x_f, P_f, x_p, P_p), reverse=True)
+    if init is None:
+        xs = jnp.concatenate([xs_rev, xs_last[None]], axis=0)
+        Ps = jnp.concatenate([Ps_rev, Ps_last[None]], axis=0)
+    else:
+        xs, Ps = xs_rev, Ps_rev
+    return xs, Ps

@@ -1,0 +1,3 @@
+"""Vision ops (XLA reference implementations; Pallas twins live in
+kalman_hydra_tpu.kernels behind the same signatures)."""
+from . import color, farneback, features, filters, lk, pyramid, warp  # noqa: F401

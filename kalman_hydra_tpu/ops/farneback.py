@@ -1,0 +1,218 @@
+"""Dense Farneback optical flow, pure XLA (cv2.calcOpticalFlowFarneback twin).
+
+Replicates the OpenCV algorithm structure end to end (SURVEY.md §2.3):
+
+1. Level images: GaussianBlur(original, sigma=(1/scale-1)/2) + INTER_LINEAR
+   resize with cvRound sizes and the min_size=32 level clamp
+   (ops/pyramid.farneback_images).
+2. Polynomial expansion per level image: weighted LSQ fit of
+   f ~ c + b^T d + d^T A d over a (2n+1)^2 Gaussian-applicability window,
+   computed as 9 separable 1-D correlations (moments m00..m02) and combined
+   through the closed-form inverse-Gram coefficients ig11/ig03/ig33/ig55.
+3. Per iteration: bilinear warp of the next frame's coefficient planes by
+   the current flow, averaged-matrix residual
+   db = -(b1 - b2_warped)/2 + A_avg d_prior, per-pixel normal equations
+   M = (A^T A, A^T db) with edge damping, winsize box (or Gaussian)
+   smoothing of M, and a closed-form 2x2 solve for the new ABSOLUTE flow.
+4. x(1/pyr_scale) flow upsampling between levels.
+
+The iteration solves for total flow (M . d_prior term), which is what makes
+the scheme contractive — see the matching note in ops/lk.lk_dense.
+
+All loop bounds/shapes are static per (H, W, FlowConfig): one jitted XLA
+program per config; no host round-trips (BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import FlowConfig
+from .filters import box_filter, correlate1d, gaussian_kernel
+from .pyramid import farneback_images, farneback_levels, resize_linear
+
+# Edge damping applied to the normal-equation inputs within 5 px of the
+# image border, as in OpenCV's FarnebackUpdateMatrices.
+_BORDER = 5
+_BORDER_SCALE = np.array([0.14, 0.14, 0.4472, 0.4472, 0.4472],
+                         dtype=np.float32)
+
+
+@lru_cache(maxsize=32)
+def _poly_inv_gram(n: int, sigma: float):
+    """Closed-form inverse-Gram coefficients of the polynomial basis
+    {1, x, y, x^2, y^2, xy} under the separable Gaussian applicability
+    (OpenCV FarnebackPrepareGaussian)."""
+    i = np.arange(-n, n + 1, dtype=np.float64)
+    g = np.exp(-(i * i) / (2.0 * sigma * sigma))
+    g /= g.sum()
+    G = np.zeros((6, 6), dtype=np.float64)
+    for yk, wy in zip(i, g):
+        for xk, wx in zip(i, g):
+            w = wx * wy
+            G[0, 0] += w
+            G[1, 1] += w * xk * xk
+            G[2, 2] += w * yk * yk
+            G[3, 3] += w * xk ** 4
+            G[4, 4] += w * yk ** 4
+            G[5, 5] += w * xk * xk * yk * yk
+            G[0, 3] += w * xk * xk
+            G[0, 4] += w * yk * yk
+            G[3, 4] += w * xk * xk * yk * yk
+    G[3, 0] = G[0, 3]
+    G[4, 0] = G[0, 4]
+    G[4, 3] = G[3, 4]
+    invG = np.linalg.inv(G)
+    ig11 = invG[1, 1]
+    ig03 = invG[0, 3]
+    ig33 = invG[3, 3]
+    ig55 = invG[5, 5]
+    return (g.astype(np.float32), np.float32(ig11), np.float32(ig03),
+            np.float32(ig33), np.float32(ig55))
+
+
+def poly_expansion(img: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
+    """Quadratic-fit coefficient planes, (H, W, 5):
+    channels [b_x, b_y, a_xx, a_yy, axy] where `axy` is the full xy
+    coefficient (= 2 * A_offdiag)."""
+    g, ig11, ig03, ig33, ig55 = _poly_inv_gram(n, float(sigma))
+    i = np.arange(-n, n + 1, dtype=np.float32)
+    xg = (i * g).astype(np.float32)
+    xxg = (i * i * g).astype(np.float32)
+
+    f = img.astype(jnp.float32)
+    # vertical moment passes (correlation: kernel index k multiplies f(y+k))
+    v0 = correlate1d(f, g, axis=-2, border="replicate")
+    v1 = correlate1d(f, xg, axis=-2, border="replicate")
+    v2 = correlate1d(f, xxg, axis=-2, border="replicate")
+    # horizontal passes -> raw moments m_pq = sum w dx^p dy^q f
+    m00 = correlate1d(v0, g, axis=-1, border="replicate")
+    m10 = correlate1d(v0, xg, axis=-1, border="replicate")
+    m20 = correlate1d(v0, xxg, axis=-1, border="replicate")
+    m01 = correlate1d(v1, g, axis=-1, border="replicate")
+    m11 = correlate1d(v1, xg, axis=-1, border="replicate")
+    m02 = correlate1d(v2, g, axis=-1, border="replicate")
+
+    b_x = m10 * ig11
+    b_y = m01 * ig11
+    a_xx = m00 * ig03 + m20 * ig33
+    a_yy = m00 * ig03 + m02 * ig33
+    axy = m11 * ig55
+    return jnp.stack([b_x, b_y, a_xx, a_yy, axy], axis=-1)
+
+
+def _warp_poly(R1: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear warp of (H, W, 5) coefficient planes by flow, clamped."""
+    h, w = R1.shape[0], R1.shape[1]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    fx = jnp.clip(xs + flow[..., 0], 0.0, w - 1.0)
+    fy = jnp.clip(ys + flow[..., 1], 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(fx), 0, w - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(fy), 0, h - 2).astype(jnp.int32)
+    ax = (fx - x0.astype(jnp.float32))[..., None]
+    ay = (fy - y0.astype(jnp.float32))[..., None]
+    r00 = R1[y0, x0]
+    r01 = R1[y0, x0 + 1]
+    r10 = R1[y0 + 1, x0]
+    r11 = R1[y0 + 1, x0 + 1]
+    return (r00 * (1 - ax) * (1 - ay) + r01 * ax * (1 - ay)
+            + r10 * (1 - ax) * ay + r11 * ax * ay)
+
+
+def _border_damp(h: int, w: int) -> jnp.ndarray:
+    """(H, W) multiplicative damping: OpenCV's border[] taper."""
+    def axis_scale(n):
+        s = np.ones(n, dtype=np.float32)
+        b = min(_BORDER, n)
+        s[:b] *= _BORDER_SCALE[:b]
+        s[n - b:] *= _BORDER_SCALE[:b][::-1]
+        return s
+    return jnp.asarray(axis_scale(h)[:, None] * axis_scale(w)[None, :])
+
+
+def update_matrices(R0: jnp.ndarray, R1: jnp.ndarray,
+                    flow: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel normal-equation planes M = (G11, G12, G22, h1, h2):
+    G = A^T A, h = A^T db with A the frame-averaged quadratic matrix and
+    db = -(b1_warped - b0)/2 + A d_prior (absolute-flow form)."""
+    h, w = R0.shape[0], R0.shape[1]
+    R1w = _warp_poly(R1, flow)
+    dx = flow[..., 0]
+    dy = flow[..., 1]
+
+    a_xx = (R0[..., 2] + R1w[..., 2]) * 0.5
+    a_yy = (R0[..., 3] + R1w[..., 3]) * 0.5
+    axy = (R0[..., 4] + R1w[..., 4]) * 0.25  # half of averaged full coeff
+    db_x = (R0[..., 0] - R1w[..., 0]) * 0.5
+    db_y = (R0[..., 1] - R1w[..., 1]) * 0.5
+    db_x = db_x + a_xx * dx + axy * dy
+    db_y = db_y + axy * dx + a_yy * dy
+
+    damp = _border_damp(h, w)
+    a_xx = a_xx * damp
+    a_yy = a_yy * damp
+    axy = axy * damp
+    db_x = db_x * damp
+    db_y = db_y * damp
+
+    g11 = a_xx * a_xx + axy * axy
+    g12 = (a_xx + a_yy) * axy
+    g22 = a_yy * a_yy + axy * axy
+    h1 = a_xx * db_x + axy * db_y
+    h2 = axy * db_x + a_yy * db_y
+    return jnp.stack([g11, g12, g22, h1, h2], axis=-1)
+
+
+def update_flow(M: jnp.ndarray, winsize: int, gaussian: bool) -> jnp.ndarray:
+    """Smooth the normal equations over winsize and solve per pixel."""
+    if gaussian:
+        m = winsize // 2
+        kern = gaussian_kernel(2 * m + 1, m * 0.3)
+        Ms = correlate1d(correlate1d(M, kern, axis=-3, border="replicate"),
+                         kern, axis=-2, border="replicate")
+    else:
+        Ms = box_filter(box_filter(M, winsize, axis=-3, border="replicate"),
+                        winsize, axis=-2, border="replicate")
+    g11 = Ms[..., 0]
+    g12 = Ms[..., 1]
+    g22 = Ms[..., 2]
+    h1 = Ms[..., 3]
+    h2 = Ms[..., 4]
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    fx = (g22 * h1 - g12 * h2) * idet
+    fy = (g11 * h2 - g12 * h1) * idet
+    return jnp.stack([fx, fy], axis=-1)
+
+
+def farneback(prev: jnp.ndarray, nxt: jnp.ndarray, cfg: FlowConfig,
+              flow0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Dense flow prev -> next, (H, W, 2) float32, channel 0 = x."""
+    h, w = prev.shape[-2], prev.shape[-1]
+    plan = farneback_levels(h, w, cfg.levels, cfg.pyr_scale)
+    imgs_a = farneback_images(prev, cfg.levels, cfg.pyr_scale)
+    imgs_b = farneback_images(nxt, cfg.levels, cfg.pyr_scale)
+
+    flow = None
+    for li, (k, lh, lw, _sigma, _ks) in enumerate(plan):
+        ia, ib = imgs_a[li], imgs_b[li]
+        R0 = poly_expansion(ia, cfg.poly_n, cfg.poly_sigma)
+        R1 = poly_expansion(ib, cfg.poly_n, cfg.poly_sigma)
+        if flow is None:
+            if flow0 is not None:
+                scale = 1.0 / (1.0 / cfg.pyr_scale) ** k
+                flow = resize_linear(flow0, lh, lw) * (cfg.pyr_scale ** k)
+            else:
+                flow = jnp.zeros((lh, lw, 2), jnp.float32)
+        else:
+            flow = resize_linear(flow, lh, lw) * (1.0 / cfg.pyr_scale)
+        for _ in range(cfg.iterations):
+            M = update_matrices(R0, R1, flow)
+            flow = update_flow(M, cfg.winsize, cfg.gaussian_win)
+    return flow

@@ -1,0 +1,186 @@
+"""Pyramidal Lucas-Kanade optical flow (sparse + dense), pure XLA.
+
+Sparse path replicates cv2.calcOpticalFlowPyrLK (SURVEY.md §2.3): Scharr/32
+spatial derivatives computed once per level on the prev image, bilinear
+fractional patches, structure tensor G per point, Gauss-Newton iterations
+d = -G^-1 b with |d|^2 <= eps^2 early-out (masked, static trip count),
+x2 propagation between levels, min-eigenvalue rejection.
+
+Dense path is the same math with the integration window realized as
+winsize box sums over the whole image (per-pixel G and b), iterated
+coarse-to-fine — the BASELINE.json:7 config-1 flow. All loops are static;
+everything jit-compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import FlowConfig
+from .filters import box_filter, correlate1d
+from .pyramid import build_pyramid, resize_linear
+from .warp import bilinear_sample, warp_image
+
+_SCHARR_D = np.array([-3.0, 0.0, 3.0], dtype=np.float32) / 32.0 * np.array(
+    [1, 1, 1], dtype=np.float32)
+_SCHARR_EDGE = np.array([-1.0, 0.0, 1.0], dtype=np.float32)
+_SCHARR_SMOOTH = np.array([3.0, 10.0, 3.0], dtype=np.float32) / 32.0
+
+
+def scharr_gradients(img: jnp.ndarray):
+    """cv2 pyrLK derivative convention: Scharr (3,10,3)/32 cross-smoothing."""
+    gx = correlate1d(correlate1d(img, _SCHARR_EDGE, axis=-1, border="replicate"),
+                     _SCHARR_SMOOTH, axis=-2, border="replicate")
+    gy = correlate1d(correlate1d(img, _SCHARR_EDGE, axis=-2, border="replicate"),
+                     _SCHARR_SMOOTH, axis=-1, border="replicate")
+    return gx, gy
+
+
+# --------------------------------------------------------------- sparse LK
+
+def _track_point_level(img_a, img_b, gx, gy, pt, guess, cfg: FlowConfig):
+    """One pyramid level of LK for one point.
+
+    pt: (2,) level-scaled source point; guess: (2,) current target estimate.
+    Returns (new_guess, valid, min_eig).
+    """
+    w = cfg.lk_winsize
+    half = (w - 1) * 0.5
+    offs = jnp.arange(w, dtype=jnp.float32) - half
+    ox = jnp.broadcast_to(offs[None, :], (w, w))
+    oy = jnp.broadcast_to(offs[:, None], (w, w))
+
+    ax = pt[0] + ox
+    ay = pt[1] + oy
+    patch_a = bilinear_sample(img_a, ax, ay)
+    pgx = bilinear_sample(gx, ax, ay)
+    pgy = bilinear_sample(gy, ax, ay)
+
+    g11 = jnp.sum(pgx * pgx)
+    g12 = jnp.sum(pgx * pgy)
+    g22 = jnp.sum(pgy * pgy)
+    min_eig = ((g11 + g22) - jnp.sqrt((g11 - g22) ** 2 + 4.0 * g12 ** 2)) \
+        * 0.5 / (w * w)
+    det = g11 * g22 - g12 * g12
+    ok = (min_eig > cfg.lk_min_eig) & (det > 1e-12)
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+
+    eps2 = jnp.float32(cfg.lk_eps * cfg.lk_eps)
+
+    def body(_i, carry):
+        g, active = carry
+        bx_q = g[0] + ox
+        by_q = g[1] + oy
+        patch_b = bilinear_sample(img_b, bx_q, by_q)
+        diff = patch_b - patch_a
+        b1 = jnp.sum(diff * pgx)
+        b2 = jnp.sum(diff * pgy)
+        dx = -(g22 * b1 - g12 * b2) * inv_det
+        dy = -(g11 * b2 - g12 * b1) * inv_det
+        d = jnp.stack([dx, dy])
+        g_new = jnp.where(active, g + d, g)
+        still = active & (jnp.sum(d * d) > eps2)
+        return g_new, still
+
+    guess, _ = lax.fori_loop(0, cfg.lk_max_iter, body, (guess, ok))
+    return guess, ok, min_eig
+
+
+def lk_sparse(prev: jnp.ndarray, nxt: jnp.ndarray, pts: jnp.ndarray,
+              cfg: FlowConfig):
+    """Track (K, 2) float32 points from prev to nxt.
+
+    Returns (new_pts (K, 2), status (K,) bool). Equivalent call:
+    cv2.calcOpticalFlowPyrLK(prev, nxt, pts, winSize=(lk_winsize,)*2,
+    maxLevel=levels-1, criteria=(lk_max_iter, lk_eps)).
+    """
+    pyr_a = build_pyramid(prev.astype(jnp.float32), cfg.levels)
+    pyr_b = build_pyramid(nxt.astype(jnp.float32), cfg.levels)
+    grads = [scharr_gradients(a) for a in pyr_a]
+
+    scale_top = 1.0 / (2 ** (cfg.levels - 1))
+    guess = pts * scale_top
+    status = jnp.ones(pts.shape[0], dtype=bool)
+    for lvl in range(cfg.levels - 1, -1, -1):
+        pt_l = pts * (1.0 / (2 ** lvl))
+        img_a, img_b = pyr_a[lvl], pyr_b[lvl]
+        gx, gy = grads[lvl]
+        track = jax.vmap(
+            lambda p, g: _track_point_level(img_a, img_b, gx, gy, p, g, cfg))
+        guess, ok, _eig = track(pt_l, guess)
+        # in-bounds check at base level
+        if lvl == 0:
+            h, w = img_a.shape
+            inb = ((guess[:, 0] >= 0) & (guess[:, 0] <= w - 1)
+                   & (guess[:, 1] >= 0) & (guess[:, 1] <= h - 1))
+            status = status & ok & inb
+        if lvl > 0:
+            guess = guess * 2.0
+    return guess, status
+
+
+# ---------------------------------------------------------------- dense LK
+
+def lk_dense(prev: jnp.ndarray, nxt: jnp.ndarray, cfg: FlowConfig):
+    """Dense pyramidal LK flow, (H, W, 2) float32 (x, y displacement).
+
+    Per-pixel window sums realized as box filters (winsize), iterated with
+    backward warping of the next frame, coarse-to-fine with x2 upsampling.
+    """
+    a = prev.astype(jnp.float32)
+    b = nxt.astype(jnp.float32)
+    pyr_a = build_pyramid(a, cfg.levels)
+    pyr_b = build_pyramid(b, cfg.levels)
+    w = cfg.lk_winsize
+
+    flow = None
+    for lvl in range(cfg.levels - 1, -1, -1):
+        ia, ib = pyr_a[lvl], pyr_b[lvl]
+        h_l, w_l = ia.shape
+        if flow is None:
+            flow = jnp.zeros((h_l, w_l, 2), dtype=jnp.float32)
+        else:
+            flow = resize_linear(flow, h_l, w_l) * 2.0
+        gx, gy = scharr_gradients(ia)
+
+        def wsum(v):
+            return box_filter(
+                box_filter(v, w, axis=-2, border="replicate", normalize=False),
+                w, axis=-1, border="replicate", normalize=False)
+
+        gxx = gx * gx
+        gxy = gx * gy
+        gyy = gy * gy
+        g11 = wsum(gxx)
+        g12 = wsum(gxy)
+        g22 = wsum(gyy)
+        det = g11 * g22 - g12 * g12
+        min_eig = ((g11 + g22)
+                   - jnp.sqrt((g11 - g22) ** 2 + 4.0 * g12 ** 2)) * 0.5 / (w * w)
+        ok = (min_eig > cfg.lk_min_eig) & (det > 1e-12)
+        inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+
+        def body(_i, fl):
+            # Re-solve for the TOTAL flow each iteration (not an increment):
+            # linearizing B(q+u) around the current per-pixel flow gives
+            # window normal equations  G u_new = sum_w(grad grad^T u_old
+            # - dI grad).  The absolute solve is contractive where the
+            # incremental form has >1 loop gain through neighboring pixels
+            # (same structure as Farneback's M . d_prior term).
+            warped = warp_image(ib, fl)
+            diff = warped - ia
+            ux, uy = fl[..., 0], fl[..., 1]
+            h1 = wsum(gxx * ux + gxy * uy - diff * gx)
+            h2 = wsum(gxy * ux + gyy * uy - diff * gy)
+            nx = (g22 * h1 - g12 * h2) * inv_det
+            ny = (g11 * h2 - g12 * h1) * inv_det
+            new = jnp.stack([nx, ny], axis=-1)
+            return jnp.where(ok[..., None], new, fl)
+
+        flow = lax.fori_loop(0, cfg.lk_max_iter, body, flow)
+    return flow

@@ -1,0 +1,119 @@
+"""Gaussian pyramids and OpenCV-compatible linear resize.
+
+Two pyramid flavors, matching the two flows that consume them
+(SURVEY.md §2.3):
+  * `pyr_down` / `build_pyramid`: cv2.pyrDown semantics — 5-tap binomial
+    [1,4,6,4,1]/16, BORDER_REFLECT_101, even-index decimation. Feeds LK.
+  * `farneback_images`: per-level GaussianBlur(original) + INTER_LINEAR
+    resize with cvRound sizes and the min_size=32 level clamp — exactly how
+    cv2.calcOpticalFlowFarneback builds its level images.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+import jax
+
+from .filters import (correlate1d, cv_round, gaussian_blur, sep_filter2d)
+
+_PYR_K = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
+
+
+def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
+    """cv2.pyrDown twin on (..., H, W) float32."""
+    blurred = sep_filter2d(img, _PYR_K, _PYR_K, border="reflect101")
+    return blurred[..., ::2, ::2]
+
+
+def build_pyramid(img: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
+    """LK pyramid: `levels` images, level 0 = input."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(pyr_down(pyr[-1]))
+    return pyr
+
+
+def resize_linear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """cv2.resize(INTER_LINEAR) twin on (..., H, W[, C]) via explicit
+    half-pixel-center bilinear sampling. Arrays whose last axis is <= 8 wide
+    are treated as channel-last (e.g. flow fields (H, W, 2))."""
+    return _resize_hw(img, out_h, out_w)
+
+
+def _has_c(img) -> bool:
+    return img.ndim >= 3 and img.shape[-1] <= 8
+
+
+def _resize_hw(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    channel_last = _has_c(img)
+    if channel_last:
+        h, w = img.shape[-3], img.shape[-2]
+    else:
+        h, w = img.shape[-2], img.shape[-1]
+    scale_y = h / out_h
+    scale_x = w / out_w
+    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * scale_y - 0.5
+    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * scale_x - 0.5
+    y0 = jnp.clip(jnp.floor(ys), 0, h - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xs), 0, w - 1).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fy = jnp.clip(ys - y0.astype(jnp.float32), 0.0, 1.0)
+    fx = jnp.clip(xs - x0.astype(jnp.float32), 0.0, 1.0)
+
+    ax_h = img.ndim - (3 if channel_last else 2)
+    ax_w = img.ndim - (2 if channel_last else 1)
+    top = jnp.take(img, y0, axis=ax_h)
+    bot = jnp.take(img, y1, axis=ax_h)
+    fy_shape = [1] * img.ndim
+    fy_shape[ax_h] = out_h
+    fyb = fy.reshape(fy_shape)
+    rows = top * (1 - fyb) + bot * fyb
+    left = jnp.take(rows, x0, axis=ax_w)
+    right = jnp.take(rows, x1, axis=ax_w)
+    fx_shape = [1] * img.ndim
+    fx_shape[ax_w] = out_w
+    fxb = fx.reshape(fx_shape)
+    return left * (1 - fxb) + right * fxb
+
+
+def farneback_levels(h: int, w: int, levels: int,
+                     pyr_scale: float) -> List[Tuple[int, int, int, float, int]]:
+    """Static per-level plan for cv2.calcOpticalFlowFarneback's pyramid.
+
+    Returns [(k, level_h, level_w, sigma, ksize)] for k = levels_eff..0,
+    replicating OpenCV's min_size=32 clamp, cvRound sizes, and the
+    sigma = (1/scale - 1)*0.5, ksize = max(cvRound(sigma*5)|1, 3) blur plan.
+    """
+    min_size = 32
+    k = 0
+    scale = 1.0
+    while k < levels:
+        scale *= pyr_scale
+        if w * scale < min_size or h * scale < min_size:
+            break
+        k += 1
+    levels_eff = k
+    plan = []
+    for k in range(levels_eff, -1, -1):
+        scale = pyr_scale ** k
+        sigma = (1.0 / scale - 1.0) * 0.5
+        ksize = max(cv_round(sigma * 5) | 1, 3)
+        plan.append((k, cv_round(h * scale), cv_round(w * scale), sigma, ksize))
+    return plan
+
+
+def farneback_images(img: jnp.ndarray, levels: int,
+                     pyr_scale: float) -> List[jnp.ndarray]:
+    """Level images for Farneback, coarsest first, each built from the
+    ORIGINAL image (blur + resize), per OpenCV."""
+    h, w = img.shape[-2], img.shape[-1]
+    out = []
+    for (_k, lh, lw, sigma, ksize) in farneback_levels(h, w, levels, pyr_scale):
+        blurred = gaussian_blur(img.astype(jnp.float32), ksize, sigma,
+                                border="reflect101")
+        out.append(_resize_hw(blurred, lh, lw))
+    return out

@@ -1,0 +1,215 @@
+"""Jitted tracking pipeline: the device-resident hot loop.
+
+Target stack of SURVEY.md §3.1: one XLA program per frame step —
+grayscale -> dense flow -> sample at tracks -> batched EKF update -> gate ->
+re-seed — scanned over the clip with `lax.scan`. Frame data never returns
+to host between decode and trajectory output (BASELINE.json:5); only the
+per-frame track rows (K x state) leave the device.
+
+Two drivers:
+  * `track_clip`: whole clip in HBM, single `jit(scan)` — the benchmark
+    path (max throughput, BASELINE.json:10).
+  * `track_stream`: python loop over a host frame iterator with one
+    `device_put` per frame — the long-video / bounded-memory path
+    (SURVEY.md §5 long-context: O(1) device memory in clip length).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterator, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .config import RunConfig
+from .io.export import Trajectories
+from .models import dynamics, lifecycle
+from .models.ekf import TrackState, ekf_step, init_tracks
+from .models.rts import rts_smooth
+from .ops import lk as lk_ops
+from .ops.color import grayscale_u8
+from .ops.farneback import farneback
+from .ops.features import corner_pool
+
+
+class Carry(NamedTuple):
+    tracks: TrackState
+    prev_gray: jnp.ndarray  # (H, W) float32
+
+
+def _flow_field(prev_gray, gray, cfg: RunConfig):
+    if cfg.flow.method == "farneback":
+        return farneback(prev_gray, gray, cfg.flow)
+    if cfg.flow.method == "lk_dense":
+        return lk_ops.lk_dense(prev_gray, gray, cfg.flow)
+    raise ValueError(f"dense flow required, got {cfg.flow.method!r}")
+
+
+def make_step(cfg: RunConfig):
+    """Build the per-frame step function (closed over static config)."""
+    F = jnp.asarray(dynamics.transition(cfg.ekf))
+    Q = jnp.asarray(dynamics.process_noise(cfg.ekf))
+    R = jnp.asarray(cfg.ekf.r * np.eye(2, dtype=np.float32))
+
+    def step(carry: Carry, frame):
+        gray = grayscale_u8(frame)
+        h, w = gray.shape
+
+        if cfg.flow.method == "lk_sparse":
+            pos = carry.tracks.x[:, 0:2]
+            new_pts, ok = lk_ops.lk_sparse(carry.prev_gray, gray, pos,
+                                           cfg.flow)
+            state = carry.tracks
+            x_pred, P_pred = _predict_only(state, F, Q)
+            z = pos + (new_pts - pos)  # = new_pts; kept explicit for clarity
+            y = z - x_pred[:, 0:2]
+            from .models.ekf import update as kf_update
+            Hm = jnp.asarray(dynamics.position_H(cfg.ekf))
+            x_new, P_new, nis = kf_update(x_pred, P_pred, y, Hm, R)
+            live = state.alive & ok
+            m = live[:, None]
+            state = state._replace(
+                x=jnp.where(m, x_new, x_pred),
+                P=jnp.where(m[..., None], P_new, P_pred))
+            aux = {"x_pred": x_pred, "P_pred": P_pred,
+                   "nis": jnp.where(live, nis, 0.0)}
+        else:
+            flow = _flow_field(carry.prev_gray, gray, cfg)
+            state, aux = ekf_step(carry.tracks, flow, cfg.ekf, F, Q, R)
+
+        state = lifecycle.gate(state, aux["x_pred"], aux["P_pred"],
+                               aux["nis"], cfg.ekf)
+        state = lifecycle.kill_lost(state, cfg.ekf, h, w)
+        if cfg.tracks.reinit:
+            cpts, cscore = corner_pool(gray, cfg.tracks)
+            state = lifecycle.reseed(state, cpts, cscore, cfg.ekf, cfg.tracks)
+
+        out = {
+            "pos": state.x[:, 0:2],
+            "alive": state.alive,
+            "nis": aux["nis"],
+            "track_id": state.track_id,
+            "x_filt": state.x,
+            "P_filt": state.P,
+            "x_pred": aux["x_pred"],
+            "P_pred": aux["P_pred"],
+        }
+        return Carry(tracks=state, prev_gray=gray), out
+
+    return step
+
+
+def _predict_only(state: TrackState, F, Q):
+    from .models.ekf import predict
+    return predict(state.x, state.P, F, Q)
+
+
+def init_from_frame(frame0, cfg: RunConfig) -> Carry:
+    """Seed the track pool from frame 0's corner pool."""
+    gray0 = grayscale_u8(frame0)
+    pts, score = corner_pool(gray0, cfg.tracks,
+                             pool_size=cfg.tracks.num_tracks)
+    state = init_tracks(cfg.ekf, pts, valid=score > 0)
+    return Carry(tracks=state, prev_gray=gray0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_history"))
+def _track_clip_jit(frames, cfg: RunConfig, with_history: bool,
+                    seeds: Optional[jnp.ndarray] = None):
+    carry0 = init_from_frame(frames[0], cfg)
+    if seeds is not None:
+        state = init_tracks(cfg.ekf, seeds)
+        carry0 = Carry(tracks=state, prev_gray=carry0.prev_gray)
+    step = make_step(cfg)
+    carry, outs = lax.scan(step, carry0, frames[1:])
+    if not with_history:
+        outs = {k: v for k, v in outs.items()
+                if k in ("pos", "alive", "nis", "track_id")}
+    # prepend the frame-0 row
+    first = {
+        "pos": carry0.tracks.x[:, 0:2],
+        "alive": carry0.tracks.alive,
+        "nis": jnp.zeros_like(outs["nis"][0]),
+        "track_id": carry0.tracks.track_id,
+    }
+    if with_history:
+        first.update({
+            "x_filt": carry0.tracks.x,
+            "P_filt": carry0.tracks.P,
+            "x_pred": carry0.tracks.x,
+            "P_pred": carry0.tracks.P,
+        })
+    outs = {k: jnp.concatenate([first[k][None], v], axis=0)
+            for k, v in outs.items()}
+    return outs
+
+
+def track_clip(frames: np.ndarray, cfg: RunConfig,
+               seeds: Optional[np.ndarray] = None,
+               with_history: bool = False) -> Trajectories:
+    """Track a whole (T, H, W[, 3]) uint8 clip on device.
+
+    `seeds`: optional (num_tracks, 2) positions overriding corner seeding
+    (used by parity tests to pin both pipelines to the same tracks).
+    """
+    frames_d = jnp.asarray(frames)
+    seeds_d = None if seeds is None else jnp.asarray(seeds)
+    outs = _track_clip_jit(frames_d, cfg, with_history, seeds_d)
+    outs = jax.device_get(outs)
+    traj = Trajectories(
+        positions=np.asarray(outs["pos"]),
+        alive=np.asarray(outs["alive"]),
+        nis=np.asarray(outs["nis"]),
+        track_id=np.asarray(outs["track_id"]))
+    if cfg.smooth.enabled and with_history:
+        F = jnp.asarray(dynamics.transition(cfg.ekf))
+        xs, _Ps = rts_smooth(F,
+                             jnp.asarray(outs["x_filt"]),
+                             jnp.asarray(outs["P_filt"]),
+                             jnp.asarray(outs["x_pred"]),
+                             jnp.asarray(outs["P_pred"]))
+        traj.smoothed = np.asarray(xs[..., 0:2])
+    return traj
+
+
+def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
+                 frame0: np.ndarray = None) -> Trajectories:
+    """Track a host frame stream with O(1) device memory.
+
+    One jitted step per frame; `device_put` overlaps with the previous
+    step's compute thanks to JAX async dispatch.
+    """
+    step_fn = None
+    carry = None
+    rows = []
+    it = iter(frame_iter)
+    if frame0 is None:
+        frame0 = next(it)
+    carry = jax.jit(init_from_frame, static_argnames="cfg")(
+        jnp.asarray(frame0), cfg)
+    rows.append({
+        "pos": np.asarray(carry.tracks.x[:, 0:2]),
+        "alive": np.asarray(carry.tracks.alive),
+        "nis": np.zeros(cfg.tracks.num_tracks, np.float32),
+        "track_id": np.asarray(carry.tracks.track_id)})
+
+    raw_step = make_step(cfg)
+    step_fn = jax.jit(lambda c, f: raw_step(c, f))
+    pending = None
+    for frame in it:
+        carry, out = step_fn(carry, jnp.asarray(frame))
+        if pending is not None:
+            rows.append(jax.device_get(
+                {k: pending[k] for k in ("pos", "alive", "nis", "track_id")}))
+        pending = out
+    if pending is not None:
+        rows.append(jax.device_get(
+            {k: pending[k] for k in ("pos", "alive", "nis", "track_id")}))
+    return Trajectories(
+        positions=np.stack([np.asarray(r["pos"]) for r in rows]),
+        alive=np.stack([np.asarray(r["alive"]) for r in rows]),
+        nis=np.stack([np.asarray(r["nis"]) for r in rows]),
+        track_id=np.stack([np.asarray(r["track_id"]) for r in rows]))

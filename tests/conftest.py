@@ -8,11 +8,17 @@ through this file and use the real TPU.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The container's axon sitecustomize pins jax_platforms to "axon,cpu"
+# (overriding the JAX_PLATFORMS env var), so force CPU through the config
+# API before any backend initializes.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

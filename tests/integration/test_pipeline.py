@@ -1,0 +1,104 @@
+"""End-to-end pipeline parity: device pipeline vs CPU oracle on synthetic
+clips (SURVEY.md §4.3, BASELINE.json:7 config-1 pattern)."""
+
+import numpy as np
+import pytest
+
+from kalman_hydra_tpu import api
+from kalman_hydra_tpu import pipeline as pl
+from kalman_hydra_tpu.config import (EkfConfig, FlowConfig, RunConfig,
+                                     SmoothConfig, TrackConfig)
+from kalman_hydra_tpu.io.synthetic import moving_blob_clip
+from kalman_hydra_tpu.ref import pipeline as rp
+
+
+@pytest.fixture(scope="module")
+def clip96():
+    return moving_blob_clip(num_frames=6, height=96, width=96,
+                            num_points=8, seed=0)
+
+
+@pytest.fixture(scope="module")
+def cfg96():
+    return RunConfig(flow=FlowConfig(levels=3),
+                     tracks=TrackConfig(num_tracks=8, reinit=False))
+
+
+def test_device_pipeline_matches_oracle(clip96, cfg96):
+    frames, truth = clip96
+    seeds = truth.positions[0]
+    tr = pl.track_clip(frames, cfg96, seeds=seeds)
+    ref = rp.track_clip(frames, cfg96, seeds=seeds)
+    d = np.linalg.norm(tr.positions - ref.positions, axis=-1)
+    assert d.mean() < 1e-3        # way under the 0.5px contract
+    assert d.max() < 1e-2
+
+
+def test_device_pipeline_tracks_truth(clip96, cfg96):
+    frames, truth = clip96
+    tr = pl.track_clip(frames, cfg96, seeds=truth.positions[0])
+    err = np.linalg.norm(tr.positions[-1] - truth.positions[-1], axis=-1)
+    assert err.mean() < 3.5       # dead-reckoning lag bound (matches oracle)
+
+
+def test_streaming_matches_clip_mode(clip96, cfg96):
+    frames, truth = clip96
+    cfg = cfg96.replace(tracks=TrackConfig(num_tracks=8, reinit=True,
+                                           corner_pool=32))
+    tr_clip = pl.track_clip(frames, cfg)
+    tr_stream = pl.track_stream(iter(frames), cfg)
+    assert np.allclose(tr_clip.positions, tr_stream.positions, atol=1e-4)
+    assert np.array_equal(tr_clip.alive, tr_stream.alive)
+
+
+def test_full_pipeline_with_lifecycle_and_smoothing(clip96):
+    frames, _ = clip96
+    cfg = RunConfig(flow=FlowConfig(levels=3),
+                    ekf=EkfConfig(state_dim=6),
+                    tracks=TrackConfig(num_tracks=16, corner_pool=64),
+                    smooth=SmoothConfig(enabled=True))
+    tr = pl.track_clip(frames, cfg, with_history=True)
+    assert tr.positions.shape == (6, 16, 2)
+    assert tr.smoothed is not None
+    assert tr.smoothed.shape == (6, 16, 2)
+    assert np.isfinite(tr.smoothed).all()
+    # smoothed track should deviate from filtered by a bounded amount
+    live = tr.alive.all(axis=0)
+    if live.any():
+        dd = np.linalg.norm(tr.smoothed[:, live] - tr.positions[:, live],
+                            axis=-1)
+        assert dd.max() < 10.0
+
+
+def test_api_track_video_roundtrip(tmp_path, clip96):
+    frames, _ = clip96
+    cfg = RunConfig(flow=FlowConfig(levels=3),
+                    tracks=TrackConfig(num_tracks=8, corner_pool=32))
+    out = str(tmp_path / "tracks.npz")
+    tr = api.track_video(frames, cfg, out_path=out)
+    from kalman_hydra_tpu.io.export import load
+    tr2 = load(out)
+    assert np.array_equal(tr.positions, tr2.positions)
+
+
+def test_api_flow_matches_oracle(trans_pair):
+    a, b, _ = trans_pair
+    a8 = np.round(a).astype(np.uint8)
+    b8 = np.round(b).astype(np.uint8)
+    cfg = FlowConfig()
+    got = api.flow(a8, b8, cfg)
+    from kalman_hydra_tpu.ref import imgproc as ip
+    ref = ip.farneback(a8, b8, cfg)
+    epe = np.linalg.norm(got - ref, axis=-1)
+    assert epe.mean() < 0.05
+
+
+def test_implicit_flow_ekf_runs(clip96):
+    frames, truth = clip96
+    cfg = RunConfig(flow=FlowConfig(levels=3),
+                    ekf=EkfConfig(measurement="implicit_flow", iekf_iters=2),
+                    tracks=TrackConfig(num_tracks=8, reinit=False))
+    tr = pl.track_clip(frames, cfg, seeds=truth.positions[0])
+    err = np.linalg.norm(tr.positions[-1] - truth.positions[-1], axis=-1)
+    assert np.isfinite(tr.positions).all()
+    assert err.mean() < 4.0

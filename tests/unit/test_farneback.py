@@ -1,0 +1,91 @@
+"""XLA Farneback vs cv2.calcOpticalFlowFarneback (the core parity target,
+BASELINE.json:5 "<0.5px mean endpoint error vs reference")."""
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kalman_hydra_tpu.config import FlowConfig
+from kalman_hydra_tpu.ops import farneback as FB
+from kalman_hydra_tpu.ref import imgproc as ip
+
+
+@pytest.fixture(scope="module")
+def pair128():
+    from kalman_hydra_tpu.io.synthetic import translating_pair
+    a, b, ft = translating_pair(height=128, width=128, shift=(3.0, -2.0),
+                                seed=0)
+    return np.round(a).astype(np.uint8), np.round(b).astype(np.uint8), ft
+
+
+def _run(a, b, cfg):
+    f = jax.jit(lambda x, y: FB.farneback(x, y, cfg))
+    return np.asarray(f(jnp.asarray(a.astype(np.float32)),
+                        jnp.asarray(b.astype(np.float32))))
+
+
+def test_farneback_matches_cv2_box(pair128):
+    a, b, _ = pair128
+    cfg = FlowConfig()
+    got = _run(a, b, cfg)
+    ref = ip.farneback(a, b, cfg)
+    epe = np.linalg.norm(got - ref, axis=-1)
+    assert epe[8:-8, 8:-8].mean() < 0.01
+    assert epe.mean() < 0.05          # full field incl. borders
+    assert epe.max() < 0.5            # hard contract everywhere
+
+
+def test_farneback_matches_cv2_gaussian(pair128):
+    a, b, _ = pair128
+    cfg = FlowConfig(gaussian_win=True)
+    got = _run(a, b, cfg)
+    ref = ip.farneback(a, b, cfg)
+    epe = np.linalg.norm(got - ref, axis=-1)
+    assert epe[8:-8, 8:-8].mean() < 0.01
+    assert epe.mean() < 0.05
+
+
+def test_farneback_tracks_truth(pair128):
+    a, b, ft = pair128
+    got = _run(a, b, FlowConfig())
+    epe = np.linalg.norm(got - ft, axis=-1)[8:-8, 8:-8]
+    assert epe.mean() < 0.05
+
+
+def test_farneback_poly7(pair128):
+    a, b, _ = pair128
+    cfg = FlowConfig(poly_n=7, poly_sigma=1.5)
+    got = _run(a, b, cfg)
+    ref = ip.farneback(a, b, cfg)
+    epe = np.linalg.norm(got - ref, axis=-1)
+    assert epe[8:-8, 8:-8].mean() < 0.02
+
+
+def test_farneback_level_clamp_small_image():
+    """OpenCV clamps pyramid depth so levels >= 32px; a 48px image with
+    levels=5 must still agree (exercises the min_size plan)."""
+    from kalman_hydra_tpu.io.synthetic import translating_pair
+    a, b, _ = translating_pair(height=48, width=48, shift=(1.0, 0.5), seed=2)
+    a = np.round(a).astype(np.uint8)
+    b = np.round(b).astype(np.uint8)
+    cfg = FlowConfig(levels=5)
+    got = _run(a, b, cfg)
+    ref = ip.farneback(a, b, cfg)
+    epe = np.linalg.norm(got - ref, axis=-1)
+    assert epe[6:-6, 6:-6].mean() < 0.02
+
+
+def test_farneback_initial_flow(pair128):
+    a, b, _ = pair128
+    cfg = FlowConfig(iterations=1, levels=1)
+    init = np.broadcast_to(np.array([3.0, -2.0], np.float32),
+                           (128, 128, 2)).copy()
+    f = jax.jit(lambda x, y, f0: FB.farneback(x, y, cfg, flow0=f0))
+    got = np.asarray(f(jnp.asarray(a.astype(np.float32)),
+                       jnp.asarray(b.astype(np.float32)),
+                       jnp.asarray(init)))
+    # seeded with the right answer + 1 iteration -> should stay close
+    err = np.linalg.norm(got - init, axis=-1)[8:-8, 8:-8]
+    assert err.mean() < 0.2

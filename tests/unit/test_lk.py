@@ -1,0 +1,80 @@
+"""Lucas-Kanade flow vs cv2.calcOpticalFlowPyrLK and analytic truth
+(SURVEY.md §4.1; BASELINE.json:7 config-1 flow)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kalman_hydra_tpu.config import FlowConfig
+from kalman_hydra_tpu.ops import lk as L
+from kalman_hydra_tpu.ref import imgproc as ip
+
+
+@pytest.fixture(scope="module")
+def pair128():
+    from kalman_hydra_tpu.io.synthetic import translating_pair
+    return translating_pair(height=128, width=128, shift=(3.0, -2.0), seed=0)
+
+
+def test_lk_sparse_matches_cv2(pair128):
+    a, b, _ = pair128
+    cfg = FlowConfig(levels=3)
+    pts = np.stack(np.meshgrid(np.arange(24, 105, 16),
+                               np.arange(24, 105, 16)), -1)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    ref_pts, ref_st = ip.lk_sparse(a, b, pts, cfg)
+    got_pts, got_st = L.lk_sparse(jnp.asarray(a), jnp.asarray(b),
+                                  jnp.asarray(pts), cfg)
+    got_pts, got_st = np.asarray(got_pts), np.asarray(got_st)
+    assert (ref_st.astype(bool) == got_st).mean() > 0.95
+    m = ref_st.astype(bool) & got_st
+    assert np.abs(got_pts[m] - ref_pts[m]).max() < 0.02
+
+
+def test_lk_sparse_tracks_truth(pair128):
+    a, b, flow_true = pair128
+    cfg = FlowConfig(levels=3)
+    pts = np.array([[30.0, 30.0], [64.0, 64.0], [90.0, 40.0]], np.float32)
+    got_pts, st = L.lk_sparse(jnp.asarray(a), jnp.asarray(b),
+                              jnp.asarray(pts), cfg)
+    assert np.asarray(st).all()
+    disp = np.asarray(got_pts) - pts
+    assert np.abs(disp - flow_true[0, 0]).max() < 0.05
+
+
+def test_lk_dense_epe_vs_truth(pair128):
+    a, b, flow_true = pair128
+    cfg = FlowConfig(levels=3)
+    fl = np.asarray(jax.jit(lambda x, y: L.lk_dense(x, y, cfg))(
+        jnp.asarray(a), jnp.asarray(b)))
+    epe = np.linalg.norm(fl - flow_true, axis=-1)[12:-12, 12:-12]
+    assert epe.mean() < 0.05          # well under the 0.5px contract
+    assert np.percentile(epe, 95) < 0.2
+
+
+def test_lk_dense_agrees_with_sparse_at_points(pair128):
+    a, b, _ = pair128
+    cfg = FlowConfig(levels=3)
+    fl = np.asarray(jax.jit(lambda x, y: L.lk_dense(x, y, cfg))(
+        jnp.asarray(a), jnp.asarray(b)))
+    pts = np.stack(np.meshgrid(np.arange(24, 105, 16),
+                               np.arange(24, 105, 16)), -1)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    ref_pts, ref_st = ip.lk_sparse(a, b, pts, cfg)
+    disp_ref = ref_pts - pts
+    ix = pts.astype(int)
+    disp_dense = fl[ix[:, 1], ix[:, 0]]
+    m = ref_st.astype(bool)
+    assert np.abs(disp_dense[m] - disp_ref[m]).mean() < 0.05
+
+
+def test_lk_dense_subpixel_shift():
+    from kalman_hydra_tpu.io.synthetic import translating_pair
+    a, b, flow_true = translating_pair(height=64, width=64,
+                                       shift=(0.6, -0.4), seed=1)
+    cfg = FlowConfig(levels=1)
+    fl = np.asarray(jax.jit(lambda x, y: L.lk_dense(x, y, cfg))(
+        jnp.asarray(a), jnp.asarray(b)))
+    epe = np.linalg.norm(fl - flow_true, axis=-1)[8:-8, 8:-8]
+    assert epe.mean() < 0.05

@@ -1,0 +1,155 @@
+"""JAX EKF/RTS/lifecycle vs the NumPy oracle (SURVEY.md §4.1: EKF step vs a
+20-line NumPy EKF; linear case vs cv2.KalmanFilter)."""
+
+import numpy as np
+import cv2
+import jax.numpy as jnp
+import pytest
+
+from kalman_hydra_tpu.config import EkfConfig, TrackConfig
+from kalman_hydra_tpu.models import dynamics as dyn
+from kalman_hydra_tpu.models import ekf as jekf
+from kalman_hydra_tpu.models import lifecycle
+from kalman_hydra_tpu.models import rts as jrts
+from kalman_hydra_tpu.models.ekf import TrackState
+from kalman_hydra_tpu.ref import ekf as ref_ekf
+
+
+@pytest.mark.parametrize("state_dim", [4, 6])
+def test_predict_update_matches_numpy_oracle(state_dim, rng):
+    cfg = EkfConfig(state_dim=state_dim)
+    K, T = 5, 12
+    F = dyn.transition(cfg)
+    Q = dyn.process_noise(cfg)
+    H = dyn.position_H(cfg)
+    R = (cfg.r * np.eye(2)).astype(np.float32)
+
+    x = rng.normal(size=(K, state_dim)).astype(np.float32)
+    P = np.broadcast_to(np.eye(state_dim, dtype=np.float32) * 2.0,
+                        (K, state_dim, state_dim)).copy()
+    xj, Pj = jnp.asarray(x), jnp.asarray(P)
+    xn, Pn = x.astype(np.float64), P.astype(np.float64)
+
+    for t in range(T):
+        z = rng.normal(size=(K, 2)).astype(np.float32) * 5.0
+        xj, Pj = jekf.predict(xj, Pj, jnp.asarray(F), jnp.asarray(Q))
+        y = jnp.asarray(z) - xj[:, 0:2]
+        xj, Pj, nis_j = jekf.update(xj, Pj, y, jnp.asarray(H), jnp.asarray(R))
+        for k in range(K):
+            xp, Pp = ref_ekf.predict(xn[k], Pn[k], F.astype(np.float64),
+                                     Q.astype(np.float64))
+            xn[k], Pn[k], nis_n = ref_ekf.update(
+                xp, Pp, z[k].astype(np.float64), H.astype(np.float64),
+                R.astype(np.float64))
+            if k == 0:
+                assert abs(float(nis_j[0]) - nis_n) < 1e-3 * (1 + nis_n)
+    assert np.abs(np.asarray(xj) - xn).max() < 1e-3
+    assert np.abs(np.asarray(Pj) - Pn).max() < 1e-3
+
+
+def test_linear_kf_matches_cv2_kalmanfilter(rng):
+    """cv2.KalmanFilter cross-check for the linear 4-state CV case."""
+    cfg = EkfConfig(state_dim=4, q=0.05, r=0.25)
+    F = dyn.transition(cfg)
+    Q = dyn.process_noise(cfg)
+    H = dyn.position_H(cfg)
+    R = (cfg.r * np.eye(2)).astype(np.float32)
+
+    kf = cv2.KalmanFilter(4, 2, 0, cv2.CV_64F)
+    kf.transitionMatrix = F.astype(np.float64)
+    kf.measurementMatrix = H.astype(np.float64)
+    kf.processNoiseCov = Q.astype(np.float64)
+    kf.measurementNoiseCov = R.astype(np.float64)
+    kf.statePost = np.zeros((4, 1))
+    kf.errorCovPost = np.eye(4)
+
+    xj = jnp.zeros((1, 4))
+    Pj = jnp.eye(4)[None]
+    for t in range(10):
+        z = rng.normal(size=2) * 3.0
+        kf.predict()
+        kf.correct(z.reshape(2, 1))
+        xj, Pj = jekf.predict(xj, Pj, jnp.asarray(F), jnp.asarray(Q))
+        y = jnp.asarray(z.astype(np.float32))[None] - xj[:, 0:2]
+        xj, Pj, _ = jekf.update(xj, Pj, y, jnp.asarray(H), jnp.asarray(R))
+    assert np.abs(np.asarray(xj[0]) - kf.statePost.ravel()).max() < 1e-3
+    assert np.abs(np.asarray(Pj[0]) - kf.errorCovPost).max() < 1e-3
+
+
+def test_rts_matches_numpy_oracle(rng):
+    cfg = EkfConfig(state_dim=4, q=0.1, r=0.5)
+    T, K = 20, 3
+    F = dyn.transition(cfg)
+    Q = dyn.process_noise(cfg)
+    v = np.array([1.0, -0.5])
+    truth = np.broadcast_to(
+        np.cumsum(np.broadcast_to(v, (T, 2)), axis=0)[:, None, :],
+        (T, K, 2)).copy() + 20.0
+    z = truth + rng.normal(0, 0.5, size=(T, K, 2))
+    x0, P0 = ref_ekf.init_state(cfg, truth[0])
+    out = ref_ekf.filter_tracks(cfg, z, x0, P0)
+    xs_ref, Ps_ref = ref_ekf.rts_smooth(cfg, out["x_filt"], out["P_filt"],
+                                        out["x_pred"], out["P_pred"])
+    xs_j, Ps_j = jrts.rts_smooth(
+        jnp.asarray(F),
+        jnp.asarray(out["x_filt"].astype(np.float32)),
+        jnp.asarray(out["P_filt"].astype(np.float32)),
+        jnp.asarray(out["x_pred"].astype(np.float32)),
+        jnp.asarray(out["P_pred"].astype(np.float32)))
+    assert np.abs(np.asarray(xs_j) - xs_ref).max() < 1e-2
+    assert np.abs(np.asarray(Ps_j) - Ps_ref).max() < 1e-2
+
+
+def _mk_state(K=6, n=4):
+    return TrackState(
+        x=jnp.asarray(np.arange(K * n, dtype=np.float32).reshape(K, n)),
+        P=jnp.broadcast_to(jnp.eye(n), (K, n, n)),
+        alive=jnp.ones(K, bool),
+        misses=jnp.zeros(K, jnp.int32),
+        track_id=jnp.zeros(K, jnp.int32))
+
+
+def test_gate_freezes_outliers():
+    cfg = EkfConfig(gate_chi2=9.21)
+    st = _mk_state()
+    x_pred = st.x + 100.0
+    P_pred = st.P * 2.0
+    nis = jnp.asarray([1.0, 50.0, 2.0, 9.0, 10.0, 0.1])
+    out = lifecycle.gate(st, x_pred, P_pred, nis, cfg)
+    gated = np.asarray(nis) > cfg.gate_chi2
+    assert np.array_equal(np.asarray(out.misses) > 0, gated)
+    # gated tracks rolled back to prediction
+    assert np.allclose(np.asarray(out.x)[gated], np.asarray(x_pred)[gated])
+    assert np.allclose(np.asarray(out.x)[~gated], np.asarray(st.x)[~gated])
+
+
+def test_kill_lost_kills_out_of_frame_and_missed():
+    cfg = EkfConfig(max_misses=3)
+    st = _mk_state()
+    st = st._replace(
+        x=st.x.at[0, 0].set(-5.0),        # out of frame
+        misses=jnp.asarray([0, 3, 1, 0, 0, 0], jnp.int32))
+    out = lifecycle.kill_lost(st, cfg, height=100, width=100)
+    alive = np.asarray(out.alive)
+    assert not alive[0]       # left frame
+    assert not alive[1]       # too many misses
+    assert alive[2:].all()
+
+
+def test_reseed_fills_dead_slots_from_corners():
+    ekf_cfg = EkfConfig()
+    trk_cfg = TrackConfig(min_distance=5.0)
+    st = _mk_state()
+    st = st._replace(alive=jnp.asarray([True, False, True, False, True, True]))
+    corner_pts = jnp.asarray([[50.0, 50.0], [2.0, 2.0], [80.0, 80.0],
+                              [90.0, 10.0]], jnp.float32)
+    # corner 1 is within min_distance of live track 0 (pos ~ (0,1))
+    corner_score = jnp.asarray([5.0, 4.0, 3.0, 0.0])
+    out = lifecycle.reseed(st, corner_pts, corner_score, ekf_cfg, trk_cfg)
+    assert np.asarray(out.alive).all()
+    new_pos = np.asarray(out.x)[[1, 3], 0:2]
+    # best two *eligible* corners are (50,50) and (80,80); (2,2) suppressed
+    assert {tuple(p) for p in new_pos} == {(50.0, 50.0), (80.0, 80.0)}
+    assert np.asarray(out.track_id)[1] == 1
+    assert np.asarray(out.track_id)[3] == 1
+    assert np.asarray(out.track_id)[[0, 2, 4, 5]].max() == 0
