@@ -1,0 +1,163 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.json:2): frames/sec/chip for the fused
+flow+EKF pipeline at 1080p, vs the measured CPU-oracle baseline
+(BASELINE.md: 1.45 fps on this container's 1-thread OpenCV; the >=5x
+target is therefore ~7.3 fps/chip).
+
+Usage:
+  python bench.py                 # headline: 1080p fused pipeline
+  python bench.py --config N      # one of the 5 BASELINE.json configs
+  python bench.py --quick         # small shapes (CI smoke)
+
+Diagnostics go to stderr; stdout carries exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+CPU_BASELINE_1080P_FPS = 1.45  # BASELINE.md, measured on this container
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_clip(t, h, w, seed=0):
+    from kalman_hydra_tpu.io.synthetic import moving_blob_clip
+    t0 = time.time()
+    frames, truth = moving_blob_clip(
+        num_frames=t, height=h, width=w, num_points=16,
+        blob_sigma=max(h, w) / 18.0, velocity=(2.1, -1.4), seed=seed)
+    log(f"clip gen {frames.shape}: {time.time()-t0:.1f}s")
+    return frames, truth
+
+
+def _time_steady(run, n_warm=1, n_iter=3):
+    for _ in range(n_warm):
+        run()
+    t0 = time.time()
+    for _ in range(n_iter):
+        run()
+    return (time.time() - t0) / n_iter
+
+
+def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6):
+    """Fused flow+EKF throughput on pre-staged device frames."""
+    import jax
+    import jax.numpy as jnp
+    from kalman_hydra_tpu import pipeline as pl
+    from kalman_hydra_tpu.config import (EkfConfig, FlowConfig, RunConfig,
+                                         TrackConfig)
+
+    cfg = RunConfig(
+        flow=FlowConfig(),  # cv2-default Farneback: 15/5/3, poly 5/1.1
+        ekf=EkfConfig(state_dim=state_dim),
+        tracks=TrackConfig(num_tracks=num_tracks,
+                           corner_pool=max(256, num_tracks)))
+    frames, _ = make_clip(t, h, w)
+    frames_d = jnp.asarray(frames)
+
+    fn = jax.jit(lambda f: pl.track_arrays(f, cfg)["pos"])
+    t0 = time.time()
+    compiled = fn.lower(frames_d).compile()
+    log(f"compile: {time.time()-t0:.1f}s on {jax.devices()[0]}")
+
+    def run():
+        jax.block_until_ready(compiled(frames_d))
+
+    sec = _time_steady(run)
+    fps = (t - 1) / sec
+    log(f"{h}x{w} T={t} K={num_tracks}: {sec*1e3:.1f} ms/clip "
+        f"=> {fps:.2f} frames/s/chip")
+    return fps
+
+
+def bench_epe(h=256, w=256):
+    """Accuracy side of the metric: EPE of device Farneback vs cv2."""
+    import jax
+    import jax.numpy as jnp
+    from kalman_hydra_tpu.config import FlowConfig
+    from kalman_hydra_tpu.io.synthetic import translating_pair
+    from kalman_hydra_tpu.ops.farneback import farneback
+    from kalman_hydra_tpu.ref import imgproc as ip
+
+    a, b, _ = translating_pair(height=h, width=w, shift=(3.0, -2.0))
+    a8 = np.round(a).astype(np.uint8)
+    b8 = np.round(b).astype(np.uint8)
+    cfg = FlowConfig()
+    got = np.asarray(jax.jit(lambda x, y: farneback(x, y, cfg))(
+        jnp.asarray(a8.astype(np.float32)), jnp.asarray(b8.astype(np.float32))))
+    ref = ip.farneback(a8, b8, cfg)
+    epe = float(np.linalg.norm(got - ref, axis=-1).mean())
+    log(f"EPE vs OpenCV reference @{h}x{w}: {epe:.5f} px")
+    return epe
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=0,
+                    help="BASELINE config 1-5; 0 = headline 1080p")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    if args.quick:
+        fps = bench_fused_pipeline(128, 128, t=5, num_tracks=64)
+        epe = bench_epe(128, 128)
+        metric = "fps_per_chip_quick"
+        base = None
+    elif args.config == 0:
+        fps = bench_fused_pipeline(1080, 1920, t=9, num_tracks=1024)
+        epe = bench_epe(256, 256)
+        metric = "fps_per_chip_1080p_fused_flow_ekf"
+        base = CPU_BASELINE_1080P_FPS
+    else:
+        fps, epe, metric, base = bench_config(args.config)
+
+    out = {"metric": metric, "value": round(fps, 3), "unit": "frames/s/chip",
+           "vs_baseline": round(fps / base, 2) if base else None,
+           "epe_px": round(epe, 5) if epe is not None else None}
+    print(json.dumps(out), flush=True)
+
+
+def bench_config(n):
+    import jax
+    import jax.numpy as jnp
+    if n == 1:
+        # single frame-pair LK flow + 4-state EKF, 256x256 (CPU parity run)
+        fps = bench_fused_pipeline(256, 256, t=9, num_tracks=256, state_dim=4)
+        return fps, bench_epe(256, 256), "fps_per_chip_cfg1_256p", None
+    if n == 2:
+        fps = bench_fused_pipeline(480, 854, t=9, num_tracks=256)
+        return fps, bench_epe(256, 256), "fps_per_chip_cfg2_480p", 11.4
+    if n == 3:
+        fps = bench_fused_pipeline(720, 1280, t=9, num_tracks=1024)
+        return fps, None, "fps_per_chip_cfg3_720p_1ktracks", None
+    if n == 4:
+        fps = bench_fused_pipeline(1080, 1920, t=9, num_tracks=1024)
+        return fps, bench_epe(256, 256), "fps_per_chip_cfg4_1080p", 1.45
+    if n == 5:
+        from kalman_hydra_tpu.config import (FlowConfig, RunConfig,
+                                             SmoothConfig, TrackConfig)
+        from kalman_hydra_tpu import pipeline as pl
+        cfg = RunConfig(flow=FlowConfig(levels=3),
+                        tracks=TrackConfig(num_tracks=256),
+                        smooth=SmoothConfig(enabled=True))
+        frames, _ = make_clip(33, 480, 854)
+        t0 = time.time()
+        tr = pl.track_clip(frames, cfg, with_history=True)
+        sec = time.time() - t0
+        fps = (len(frames) - 1) / sec
+        log(f"cfg5 long-horizon+RTS: {fps:.2f} fps (incl compile)")
+        return fps, None, "fps_per_chip_cfg5_rts", None
+    raise SystemExit(f"unknown config {n}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Command-line interface — mirrors the reference's run_*.py driver scripts
+(SURVEY.md §2.1 #1: parse args, open video, init filter, loop, export).
+
+  python -m kalman_hydra_tpu track clip.mp4 --out tracks.npz [--smooth]
+  python -m kalman_hydra_tpu flow a.npy b.npy --out flow.npz
+  python -m kalman_hydra_tpu synth --out clip.npz --frames 32
+  python -m kalman_hydra_tpu bench --quick
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def _load_cfg(args):
+    from .config import (EkfConfig, FlowConfig, RunConfig, SmoothConfig,
+                         TrackConfig)
+    if args.config:
+        cfg = RunConfig.from_json(open(args.config).read())
+    else:
+        cfg = RunConfig()
+    over = {}
+    if getattr(args, "method", None):
+        over["flow"] = dataclasses.replace(cfg.flow, method=args.method)
+    if getattr(args, "tracks", None):
+        over["tracks"] = dataclasses.replace(cfg.tracks,
+                                             num_tracks=args.tracks)
+    if getattr(args, "smooth", False):
+        over["smooth"] = SmoothConfig(enabled=True)
+    return cfg.replace(**over) if over else cfg
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="kalman_hydra_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("track", help="track a video -> trajectories")
+    t.add_argument("video")
+    t.add_argument("--out", default="tracks.npz")
+    t.add_argument("--config", help="RunConfig JSON file")
+    t.add_argument("--method", choices=["farneback", "lk_dense", "lk_sparse"])
+    t.add_argument("--tracks", type=int)
+    t.add_argument("--smooth", action="store_true")
+    t.add_argument("--stream", action="store_true",
+                   help="O(1)-memory streaming mode")
+    t.add_argument("--checkpoint", help="state checkpoint path")
+    t.add_argument("--checkpoint-every", type=int, default=0)
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--max-frames", type=int)
+    t.add_argument("--profile", help="write a jax.profiler trace here")
+
+    f = sub.add_parser("flow", help="dense flow between two frames")
+    f.add_argument("a")
+    f.add_argument("b")
+    f.add_argument("--out", default="flow.npz")
+    f.add_argument("--config")
+    f.add_argument("--method", choices=["farneback", "lk_dense"])
+
+    s = sub.add_parser("synth", help="generate a synthetic test clip")
+    s.add_argument("--out", default="clip.npz")
+    s.add_argument("--frames", type=int, default=16)
+    s.add_argument("--height", type=int, default=256)
+    s.add_argument("--width", type=int, default=256)
+    s.add_argument("--seed", type=int, default=0)
+
+    b = sub.add_parser("bench", help="run the benchmark harness")
+    b.add_argument("--config", type=int, default=0)
+    b.add_argument("--quick", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "track":
+        from . import api
+        from .io.video import FrameStream, PrefetchStream
+        from . import pipeline as pl
+        cfg = _load_cfg(args)
+
+        def run():
+            if args.stream:
+                stream = PrefetchStream(FrameStream(args.video), depth=4)
+                tracks = pl.track_stream(
+                    stream, cfg, checkpoint_path=args.checkpoint,
+                    checkpoint_every=args.checkpoint_every,
+                    resume=args.resume)
+                from .io.export import save
+                save(tracks, args.out)
+                return tracks
+            return api.track_video(args.video, cfg, out_path=args.out,
+                                   max_frames=args.max_frames)
+
+        if args.profile:
+            from .utils.profiling import trace
+            with trace(args.profile):
+                tracks = run()
+        else:
+            tracks = run()
+        live = tracks.alive.mean()
+        print(f"tracked {tracks.num_frames} frames x "
+              f"{tracks.num_tracks} slots (live {live:.0%}) -> {args.out}")
+        return 0
+
+    if args.cmd == "flow":
+        from . import api
+        from .config import FlowConfig
+        a = _load_frame(args.a)
+        b_ = _load_frame(args.b)
+        cfg = FlowConfig(**({"method": args.method} if args.method else {}))
+        fl = api.flow(a, b_, cfg)
+        np.savez_compressed(args.out, flow=fl)
+        mag = np.linalg.norm(fl, axis=-1)
+        print(f"flow {fl.shape}: |u| mean {mag.mean():.3f} max {mag.max():.3f}"
+              f" -> {args.out}")
+        return 0
+
+    if args.cmd == "synth":
+        from .io.synthetic import moving_blob_clip
+        frames, truth = moving_blob_clip(
+            num_frames=args.frames, height=args.height, width=args.width,
+            seed=args.seed)
+        np.savez_compressed(args.out, frames=frames,
+                            truth_positions=truth.positions)
+        print(f"wrote {frames.shape} clip -> {args.out}")
+        return 0
+
+    if args.cmd == "bench":
+        import subprocess
+        cmd = [sys.executable, "bench.py"]
+        if args.quick:
+            cmd.append("--quick")
+        elif args.config:
+            cmd += ["--config", str(args.config)]
+        return subprocess.call(cmd)
+
+    return 1
+
+
+def _load_frame(path: str) -> np.ndarray:
+    if path.endswith((".npy", ".npz")):
+        if path.endswith(".npz"):
+            with np.load(path) as z:
+                return z[list(z.keys())[0]]
+        return np.load(path)
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise IOError(f"cannot read {path}")
+    return img
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,116 @@
+"""Device mesh + data-parallel clip sharding (SURVEY.md §2.2).
+
+The reference is single-process/single-GPU; the TPU build's first-class
+parallelism is clip-batch data parallelism over a v5e-8 slice
+(BASELINE.json:11): clips are independent, so DP = `NamedSharding` of the
+batch axis over a 1-D `Mesh(("data",))` — XLA emits no collectives in the
+hot loop, only at the optional metric reduction (psum via `jnp.mean` over
+the sharded axis). Spatial (halo-exchange) frame sharding is the designed
+TP analog; see kernels/ notes — not needed at 1080p on one chip.
+
+Developed against a CPU host faked to 8 devices
+(tests/conftest.py, SURVEY.md §4.4); the axis name and layouts are
+identical on a real v5e-8 slice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RunConfig
+from ..io.export import Trajectories
+from .. import pipeline as _pipeline
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D data mesh over the first n devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_history"))
+def _track_batch_jit(clips, cfg: RunConfig, with_history: bool = False,
+                     seeds: Optional[jnp.ndarray] = None):
+    """vmapped multi-clip pipeline (single device, BASELINE.json:10)."""
+    fn = lambda f, s: _pipeline.track_arrays(f, cfg, with_history, s)
+    if seeds is None:
+        return jax.vmap(lambda f: _pipeline.track_arrays(f, cfg,
+                                                         with_history))(clips)
+    return jax.vmap(fn)(clips, seeds)
+
+
+def track_clips_batch(clips: np.ndarray, cfg: RunConfig,
+                      seeds: Optional[np.ndarray] = None):
+    """Track a (B, T, H, W[, 3]) uint8 batch with vmap on one device.
+
+    Returns a list of B Trajectories."""
+    outs = jax.device_get(_track_batch_jit(
+        jnp.asarray(clips), cfg, False,
+        None if seeds is None else jnp.asarray(seeds)))
+    return _to_trajectories(outs)
+
+
+def track_clips_sharded(clips: np.ndarray, cfg: RunConfig,
+                        mesh: Optional[Mesh] = None,
+                        seeds: Optional[np.ndarray] = None,
+                        reduce_metrics: bool = False):
+    """Data-parallel tracking: clip batch sharded over the mesh axis.
+
+    B must be divisible by the mesh size. With `reduce_metrics`, also
+    returns globally reduced filter-health metrics (mean NIS, live-track
+    fraction per frame) — the only cross-device communication
+    (SURVEY.md §5 "Distributed communication backend").
+    """
+    mesh = mesh or make_mesh()
+    axis = mesh.axis_names[0]
+    B = clips.shape[0]
+    if B % mesh.size != 0:
+        raise ValueError(f"batch {B} not divisible by mesh size {mesh.size}")
+
+    data_sharding = NamedSharding(mesh, P(axis))
+    clips_d = jax.device_put(jnp.asarray(clips), data_sharding)
+    seeds_d = (None if seeds is None
+               else jax.device_put(jnp.asarray(seeds), data_sharding))
+
+    outs, metrics = _track_sharded_jit(clips_d, cfg, reduce_metrics, seeds_d)
+    trajs = _to_trajectories(jax.device_get(outs))
+    if reduce_metrics:
+        return trajs, jax.device_get(metrics)
+    return trajs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "reduce_metrics"))
+def _track_sharded_jit(clips_in, cfg: RunConfig, reduce_metrics: bool,
+                       seeds_in=None):
+    if seeds_in is None:
+        outs = jax.vmap(lambda f: _pipeline.track_arrays(f, cfg))(clips_in)
+    else:
+        outs = jax.vmap(lambda f, s: _pipeline.track_arrays(
+            f, cfg, False, s))(clips_in, seeds_in)
+    if reduce_metrics:
+        # the only cross-device reduction in the DP path: XLA inserts the
+        # psum/all-reduce over the sharded batch axis here
+        metrics = {
+            "mean_nis": jnp.mean(outs["nis"]),
+            "live_fraction": jnp.mean(
+                outs["alive"].astype(jnp.float32), axis=(0, 2)),
+        }
+        return outs, metrics
+    return outs, None
+
+
+def _to_trajectories(outs) -> list:
+    B = outs["pos"].shape[0]
+    return [Trajectories(positions=np.asarray(outs["pos"][b]),
+                         alive=np.asarray(outs["alive"][b]),
+                         nis=np.asarray(outs["nis"][b]),
+                         track_id=np.asarray(outs["track_id"][b]))
+            for b in range(B)]

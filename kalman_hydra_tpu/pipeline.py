@@ -116,9 +116,14 @@ def init_from_frame(frame0, cfg: RunConfig) -> Carry:
     return Carry(tracks=state, prev_gray=gray0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "with_history"))
-def _track_clip_jit(frames, cfg: RunConfig, with_history: bool,
-                    seeds: Optional[jnp.ndarray] = None):
+def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
+                 seeds: Optional[jnp.ndarray] = None):
+    """Pure traced pipeline on a (T, H, W[, 3]) frame array -> output dict.
+
+    The functional core shared by the jitted single-clip driver, the
+    multi-clip vmap batch (BASELINE.json:10), and the sharded data-parallel
+    path (BASELINE.json:11, parallel/mesh.py).
+    """
     carry0 = init_from_frame(frames[0], cfg)
     if seeds is not None:
         state = init_tracks(cfg.ekf, seeds)
@@ -145,6 +150,12 @@ def _track_clip_jit(frames, cfg: RunConfig, with_history: bool,
     outs = {k: jnp.concatenate([first[k][None], v], axis=0)
             for k, v in outs.items()}
     return outs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_history"))
+def _track_clip_jit(frames, cfg: RunConfig, with_history: bool,
+                    seeds: Optional[jnp.ndarray] = None):
+    return track_arrays(frames, cfg, with_history, seeds)
 
 
 def track_clip(frames: np.ndarray, cfg: RunConfig,
@@ -176,35 +187,56 @@ def track_clip(frames: np.ndarray, cfg: RunConfig,
 
 
 def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
-                 frame0: np.ndarray = None) -> Trajectories:
+                 frame0: np.ndarray = None,
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_every: int = 0,
+                 resume: bool = False) -> Trajectories:
     """Track a host frame stream with O(1) device memory.
 
     One jitted step per frame; `device_put` overlaps with the previous
-    step's compute thanks to JAX async dispatch.
+    step's compute thanks to JAX async dispatch. With `checkpoint_path` +
+    `checkpoint_every`, the (tiny) filter-state pytree is serialized every
+    N frames; `resume=True` reloads it and fast-forwards the stream
+    (SURVEY.md §5 checkpoint/resume).
     """
-    step_fn = None
-    carry = None
+    import os
+    from .utils import checkpoint as ckpt
+
     rows = []
     it = iter(frame_iter)
-    if frame0 is None:
-        frame0 = next(it)
-    carry = jax.jit(init_from_frame, static_argnames="cfg")(
-        jnp.asarray(frame0), cfg)
-    rows.append({
-        "pos": np.asarray(carry.tracks.x[:, 0:2]),
-        "alive": np.asarray(carry.tracks.alive),
-        "nis": np.zeros(cfg.tracks.num_tracks, np.float32),
-        "track_id": np.asarray(carry.tracks.track_id)})
+    start_idx = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        state, prev_gray, start_idx = ckpt.load_state(checkpoint_path)
+        carry = Carry(tracks=jax.tree.map(jnp.asarray, state),
+                      prev_gray=jnp.asarray(prev_gray))
+        for _ in range(start_idx):        # fast-forward the decoder
+            next(it)
+    else:
+        if frame0 is None:
+            frame0 = next(it)
+        carry = jax.jit(init_from_frame, static_argnames="cfg")(
+            jnp.asarray(frame0), cfg)
+        rows.append({
+            "pos": np.asarray(carry.tracks.x[:, 0:2]),
+            "alive": np.asarray(carry.tracks.alive),
+            "nis": np.zeros(cfg.tracks.num_tracks, np.float32),
+            "track_id": np.asarray(carry.tracks.track_id)})
 
     raw_step = make_step(cfg)
     step_fn = jax.jit(lambda c, f: raw_step(c, f))
     pending = None
+    frame_idx = start_idx
     for frame in it:
         carry, out = step_fn(carry, jnp.asarray(frame))
+        frame_idx += 1
         if pending is not None:
             rows.append(jax.device_get(
                 {k: pending[k] for k in ("pos", "alive", "nis", "track_id")}))
         pending = out
+        if (checkpoint_path and checkpoint_every
+                and frame_idx % checkpoint_every == 0):
+            ckpt.save_state(checkpoint_path, jax.device_get(carry.tracks),
+                            np.asarray(carry.prev_gray), frame_idx)
     if pending is not None:
         rows.append(jax.device_get(
             {k: pending[k] for k in ("pos", "alive", "nis", "track_id")}))

@@ -1,0 +1,68 @@
+"""Multi-device DP path on the 8-fake-device CPU mesh (SURVEY.md §4.4):
+sharded results must equal single-device results."""
+
+import numpy as np
+import jax
+import pytest
+
+from kalman_hydra_tpu.config import FlowConfig, RunConfig, TrackConfig
+from kalman_hydra_tpu.io.synthetic import moving_blob_clip
+from kalman_hydra_tpu.parallel import (make_mesh, track_clips_batch,
+                                       track_clips_sharded)
+
+
+@pytest.fixture(scope="module")
+def clip_batch():
+    clips, seeds = [], []
+    for s in range(8):
+        frames, truth = moving_blob_clip(num_frames=4, height=64, width=64,
+                                         num_points=4, seed=s)
+        clips.append(frames)
+        seeds.append(truth.positions[0])
+    return np.stack(clips), np.stack(seeds).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return RunConfig(flow=FlowConfig(levels=2),
+                     tracks=TrackConfig(num_tracks=4, reinit=False))
+
+
+def test_eight_fake_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_equals_single_device(clip_batch, cfg):
+    clips, seeds = clip_batch
+    mesh = make_mesh(8)
+    single = track_clips_batch(clips, cfg, seeds=seeds)
+    sharded = track_clips_sharded(clips, cfg, mesh=mesh, seeds=seeds)
+    for a, b in zip(single, sharded):
+        assert np.array_equal(a.alive, b.alive)
+        np.testing.assert_allclose(a.positions, b.positions, atol=1e-5)
+
+
+def test_sharded_metric_reduction(clip_batch, cfg):
+    clips, seeds = clip_batch
+    mesh = make_mesh(8)
+    trajs, metrics = track_clips_sharded(clips, cfg, mesh=mesh, seeds=seeds,
+                                         reduce_metrics=True)
+    assert np.isfinite(metrics["mean_nis"])
+    assert metrics["live_fraction"].shape == (4,)
+    assert (metrics["live_fraction"] > 0).all()
+
+
+def test_sharded_on_subset_mesh(clip_batch, cfg):
+    clips, seeds = clip_batch
+    mesh = make_mesh(4)
+    sharded = track_clips_sharded(clips, cfg, mesh=mesh, seeds=seeds)
+    single = track_clips_batch(clips, cfg, seeds=seeds)
+    np.testing.assert_allclose(single[3].positions, sharded[3].positions,
+                               atol=1e-5)
+
+
+def test_indivisible_batch_raises(clip_batch, cfg):
+    clips, seeds = clip_batch
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError):
+        track_clips_sharded(clips[:3], cfg, mesh=mesh, seeds=seeds[:3])

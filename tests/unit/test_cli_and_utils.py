@@ -1,0 +1,52 @@
+"""CLI smoke tests + checkpoint/resume round-trip."""
+
+import numpy as np
+
+from kalman_hydra_tpu.cli import main as cli_main
+from kalman_hydra_tpu.io.synthetic import moving_blob_clip
+
+
+def test_cli_synth_and_track(tmp_path):
+    clip = str(tmp_path / "clip.npz")
+    out = str(tmp_path / "tracks.npz")
+    assert cli_main(["synth", "--out", clip, "--frames", "4",
+                     "--height", "64", "--width", "64"]) == 0
+    assert cli_main(["track", clip, "--out", out, "--tracks", "8"]) == 0
+    from kalman_hydra_tpu.io.export import load
+    tr = load(out)
+    assert tr.positions.shape[0] == 4
+    assert tr.positions.shape[1] == 8
+
+
+def test_cli_flow(tmp_path):
+    a = str(tmp_path / "a.npy")
+    b = str(tmp_path / "b.npy")
+    out = str(tmp_path / "flow.npz")
+    from kalman_hydra_tpu.io.synthetic import translating_pair
+    fa, fb, _ = translating_pair(height=64, width=64, shift=(1.0, 0.5))
+    np.save(a, np.round(fa).astype(np.uint8))
+    np.save(b, np.round(fb).astype(np.uint8))
+    assert cli_main(["flow", a, b, "--out", out]) == 0
+    with np.load(out) as z:
+        assert z["flow"].shape == (64, 64, 2)
+
+
+def test_checkpoint_resume_matches_uninterrupted(tmp_path):
+    from kalman_hydra_tpu import pipeline as pl
+    from kalman_hydra_tpu.config import FlowConfig, RunConfig, TrackConfig
+
+    frames, _ = moving_blob_clip(num_frames=7, height=64, width=64, seed=3)
+    cfg = RunConfig(flow=FlowConfig(levels=2),
+                    tracks=TrackConfig(num_tracks=8, corner_pool=16))
+    full = pl.track_stream(iter(frames), cfg)
+
+    ck = str(tmp_path / "state.npz")
+    # run the first 4 frames (3 steps + init), checkpointing every step
+    pl.track_stream(iter(frames[:4]), cfg, checkpoint_path=ck,
+                    checkpoint_every=1)
+    resumed = pl.track_stream(iter(frames), cfg, checkpoint_path=ck,
+                              resume=True)
+    # resumed rows cover frames 4..6; compare against the tail of full
+    np.testing.assert_allclose(resumed.positions,
+                               full.positions[-len(resumed.positions):],
+                               atol=1e-4)
