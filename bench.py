@@ -39,44 +39,70 @@ def make_clip(t, h, w, seed=0):
     return frames, truth
 
 
-def _time_steady(run, n_warm=1, n_iter=3):
-    for _ in range(n_warm):
-        run()
-    t0 = time.time()
-    for _ in range(n_iter):
-        run()
-    return (time.time() - t0) / n_iter
-
-
 def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6):
-    """Fused flow+EKF throughput on pre-staged device frames."""
+    """Fused flow+EKF throughput on pre-staged device frames.
+
+    Timing notes for this environment (axon relay): block_until_ready does
+    NOT synchronize and D2H is very slow, so the only honest clock is
+    "enqueue -> fetch of a scalar checksum". Fixed overhead (relay latency,
+    fetch) is cancelled by differencing two in-jit repeat counts R1 < R2:
+    each repeat re-runs the full clip scan with a carry-dependent seed
+    perturbation (~1e-17 px) that blocks loop-invariant hoisting without
+    changing results.
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from kalman_hydra_tpu import pipeline as pl
     from kalman_hydra_tpu.config import (EkfConfig, FlowConfig, RunConfig,
                                          TrackConfig)
+    from kalman_hydra_tpu.ops.features import corner_pool
 
     cfg = RunConfig(
         flow=FlowConfig(),  # cv2-default Farneback: 15/5/3, poly 5/1.1
         ekf=EkfConfig(state_dim=state_dim),
         tracks=TrackConfig(num_tracks=num_tracks,
                            corner_pool=max(256, num_tracks)))
-    frames, _ = make_clip(t, h, w)
+    frames, _truth = make_clip(t, h, w)
     frames_d = jnp.asarray(frames)
+    # regular seed grid over the frame interior (num_tracks points)
+    g = int(np.ceil(np.sqrt(num_tracks)))
+    gy, gx = np.mgrid[0:g, 0:g]
+    pts = np.stack([8 + gx.ravel() * (w - 16) / max(g - 1, 1),
+                    8 + gy.ravel() * (h - 16) / max(g - 1, 1)],
+                   axis=-1)[:num_tracks].astype(np.float32)
+    base_seeds = jnp.asarray(pts)
 
-    fn = jax.jit(lambda f: pl.track_arrays(f, cfg)["pos"])
-    t0 = time.time()
-    compiled = fn.lower(frames_d).compile()
-    log(f"compile: {time.time()-t0:.1f}s on {jax.devices()[0]}")
+    def repeat_run(f, R):
+        def body(_i, acc):
+            s = base_seeds + acc * 1e-20   # carry dep: defeats LICM
+            outs = pl.track_arrays(f, cfg, seeds=s)
+            return acc + jnp.sum(outs["pos"][-1]) * 1e-6
+        return lax.fori_loop(0, R, body, jnp.float32(0.0))
 
-    def run():
-        jax.block_until_ready(compiled(frames_d))
-
-    sec = _time_steady(run)
-    fps = (t - 1) / sec
-    log(f"{h}x{w} T={t} K={num_tracks}: {sec*1e3:.1f} ms/clip "
+    times = {}
+    for R in (1, 3):
+        t0 = time.time()
+        comp = jax.jit(repeat_run, static_argnums=1).lower(
+            frames_d, R).compile()
+        log(f"compile R={R}: {time.time()-t0:.1f}s")
+        np.asarray(comp(frames_d))                      # warm
+        best = min(_fetch_time(comp, frames_d) for _ in range(2))
+        times[R] = best
+        log(f"R={R}: {best*1e3:.1f} ms")
+    marginal = (times[3] - times[1]) / 2.0
+    if marginal <= 0:
+        marginal = times[3] / 3.0
+    fps = (t - 1) / marginal
+    log(f"{h}x{w} T={t} K={num_tracks}: {marginal*1e3:.1f} ms/clip steady "
         f"=> {fps:.2f} frames/s/chip")
     return fps
+
+
+def _fetch_time(comp, *args):
+    t0 = time.time()
+    np.asarray(comp(*args))
+    return time.time() - t0
 
 
 def bench_epe(h=256, w=256):
@@ -92,10 +118,13 @@ def bench_epe(h=256, w=256):
     a8 = np.round(a).astype(np.uint8)
     b8 = np.round(b).astype(np.uint8)
     cfg = FlowConfig()
-    got = np.asarray(jax.jit(lambda x, y: farneback(x, y, cfg))(
-        jnp.asarray(a8.astype(np.float32)), jnp.asarray(b8.astype(np.float32))))
     ref = ip.farneback(a8, b8, cfg)
-    epe = float(np.linalg.norm(got - ref, axis=-1).mean())
+    # compute EPE on device and fetch only the scalar (slow D2H relay)
+    epe = float(np.asarray(jax.jit(
+        lambda x, y, r: jnp.linalg.norm(
+            farneback(x, y, cfg) - r, axis=-1).mean())(
+        jnp.asarray(a8.astype(np.float32)),
+        jnp.asarray(b8.astype(np.float32)), jnp.asarray(ref))))
     log(f"EPE vs OpenCV reference @{h}x{w}: {epe:.5f} px")
     return epe
 

@@ -1,0 +1,110 @@
+"""Pallas-TPU polynomial-expansion kernel (Farneback step 1).
+
+Fuses the 9 separable correlations + inverse-Gram combination of
+ops.farneback.poly_expansion into one pass: each grid step DMAs a
+(tile + 2n)-row slab of the replicate-padded image into VMEM, runs the
+vertical (g, xg, xxg) taps and horizontal moment taps unrolled on the VPU,
+and writes the 5 coefficient planes — one HBM read and one write total,
+where the XLA version materializes 3 intermediate planes.
+
+Output layout is planar (5, H, W) so each plane tiles (8, 128) cleanly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.farneback import _poly_inv_gram
+
+
+def _polyexp_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
+                    th: int, w_out: int,
+                    in_hbm, out_ref, scratch, sem):
+    i = pl.program_id(0)
+    rows_in = th + 2 * n
+    dma = pltpu.make_async_copy(
+        in_hbm.at[pl.ds(i * th, rows_in), :], scratch, sem)
+    dma.start()
+    dma.wait()
+    s = scratch[:]                                  # (th+2n, w_out+2n)
+
+    taps = 2 * n + 1
+    v0 = v1 = v2 = None
+    for k in range(taps):
+        row = s[k:k + th, :]
+        t0 = g[k] * row
+        t1 = xg[k] * row
+        t2 = xxg[k] * row
+        v0 = t0 if v0 is None else v0 + t0
+        v1 = t1 if v1 is None else v1 + t1
+        v2 = t2 if v2 is None else v2 + t2
+
+    m00 = m10 = m20 = m01 = m11 = m02 = None
+    for k in range(taps):
+        c0 = v0[:, k:k + w_out]
+        c1 = v1[:, k:k + w_out]
+        c2 = v2[:, k:k + w_out]
+        a = g[k] * c0
+        b = xg[k] * c0
+        c = xxg[k] * c0
+        d = g[k] * c1
+        e = xg[k] * c1
+        f = g[k] * c2
+        m00 = a if m00 is None else m00 + a
+        m10 = b if m10 is None else m10 + b
+        m20 = c if m20 is None else m20 + c
+        m01 = d if m01 is None else m01 + d
+        m11 = e if m11 is None else m11 + e
+        m02 = f if m02 is None else m02 + f
+
+    out_ref[0, :, :] = m10 * ig11           # b_x
+    out_ref[1, :, :] = m01 * ig11           # b_y
+    out_ref[2, :, :] = m00 * ig03 + m20 * ig33   # a_xx
+    out_ref[3, :, :] = m00 * ig03 + m02 * ig33   # a_yy
+    out_ref[4, :, :] = m11 * ig55           # axy (full xy coefficient)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("poly_n", "poly_sigma", "interpret"))
+def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
+                          interpret: bool = False) -> jnp.ndarray:
+    """(H, W) float32 -> (5, H, W) coefficient planes
+    [b_x, b_y, a_xx, a_yy, axy]; same math/channels as
+    ops.farneback.poly_expansion (which returns (H, W, 5))."""
+    h, w = img.shape
+    # cv2 semantics: poly_n IS the half-width (poly_n=5 -> 11 taps), matching
+    # ops.farneback.farneback's call poly_expansion(img, cfg.poly_n, ...)
+    n = poly_n
+    g, ig11, ig03, ig33, ig55 = _poly_inv_gram(n, float(poly_sigma))
+    i = np.arange(-n, n + 1, dtype=np.float32)
+    gt = tuple(np.float32(v) for v in g)
+    xg = tuple(np.float32(v) for v in (i * g))
+    xxg = tuple(np.float32(v) for v in (i * i * g))
+
+    th = min(128, h)
+    h_pad = ((h + th - 1) // th) * th
+    xp = jnp.pad(img, ((n, n), (n, n)), mode="edge")      # replicate
+    xp = jnp.pad(xp, ((0, h_pad - h), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_polyexp_kernel, n, gt, xg, xxg,
+                          float(ig11), float(ig03), float(ig33), float(ig55),
+                          th, w),
+        grid=(h_pad // th,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((5, th, w), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((5, h_pad, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * n, w + 2 * n), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp)
+    return out[:, :h, :]

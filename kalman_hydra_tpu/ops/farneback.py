@@ -191,28 +191,67 @@ def update_flow(M: jnp.ndarray, winsize: int, gaussian: bool) -> jnp.ndarray:
     return jnp.stack([fx, fy], axis=-1)
 
 
+def _warp_poly_planar(R1p: jnp.ndarray, flow_p: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear warp of (5, H, W) planes by (2, H, W) flow, clamped."""
+    h, w = R1p.shape[1], R1p.shape[2]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    fx = jnp.clip(xs + flow_p[0], 0.0, w - 1.0)
+    fy = jnp.clip(ys + flow_p[1], 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(fx), 0, w - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(fy), 0, h - 2).astype(jnp.int32)
+    ax = (fx - x0.astype(jnp.float32))[None]
+    ay = (fy - y0.astype(jnp.float32))[None]
+    r00 = R1p[:, y0, x0]
+    r01 = R1p[:, y0, x0 + 1]
+    r10 = R1p[:, y0 + 1, x0]
+    r11 = R1p[:, y0 + 1, x0 + 1]
+    return (r00 * (1 - ax) * (1 - ay) + r01 * ax * (1 - ay)
+            + r10 * (1 - ax) * ay + r11 * ax * ay)
+
+
 def farneback(prev: jnp.ndarray, nxt: jnp.ndarray, cfg: FlowConfig,
-              flow0: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Dense flow prev -> next, (H, W, 2) float32, channel 0 = x."""
+              flow0: Optional[jnp.ndarray] = None,
+              impl: str = "xla", interpret: bool = False) -> jnp.ndarray:
+    """Dense flow prev -> next, (H, W, 2) float32, channel 0 = x.
+
+    impl="pallas" swaps in the fused kernels (polyexp + flow-update) behind
+    identical numerics; the bilinear coefficient warp stays in XLA either
+    way (SURVEY.md §7 gather policy).
+    """
     h, w = prev.shape[-2], prev.shape[-1]
     plan = farneback_levels(h, w, cfg.levels, cfg.pyr_scale)
     imgs_a = farneback_images(prev, cfg.levels, cfg.pyr_scale)
     imgs_b = farneback_images(nxt, cfg.levels, cfg.pyr_scale)
+    use_pallas = impl == "pallas"
+    if use_pallas:
+        from ..kernels.flow_update_pallas import flow_update as _fu
+        from ..kernels.polyexp_pallas import poly_expansion_planar as _pe
 
     flow = None
     for li, (k, lh, lw, _sigma, _ks) in enumerate(plan):
         ia, ib = imgs_a[li], imgs_b[li]
-        R0 = poly_expansion(ia, cfg.poly_n, cfg.poly_sigma)
-        R1 = poly_expansion(ib, cfg.poly_n, cfg.poly_sigma)
         if flow is None:
             if flow0 is not None:
-                scale = 1.0 / (1.0 / cfg.pyr_scale) ** k
                 flow = resize_linear(flow0, lh, lw) * (cfg.pyr_scale ** k)
             else:
                 flow = jnp.zeros((lh, lw, 2), jnp.float32)
         else:
             flow = resize_linear(flow, lh, lw) * (1.0 / cfg.pyr_scale)
-        for _ in range(cfg.iterations):
-            M = update_matrices(R0, R1, flow)
-            flow = update_flow(M, cfg.winsize, cfg.gaussian_win)
+
+        if use_pallas:
+            R0p = _pe(ia, cfg.poly_n, cfg.poly_sigma, interpret=interpret)
+            R1p = _pe(ib, cfg.poly_n, cfg.poly_sigma, interpret=interpret)
+            flow_p = jnp.moveaxis(flow, -1, 0)
+            for _ in range(cfg.iterations):
+                R1wp = _warp_poly_planar(R1p, flow_p)
+                flow_p = _fu(R0p, R1wp, flow_p, cfg.winsize,
+                             cfg.gaussian_win, interpret=interpret)
+            flow = jnp.moveaxis(flow_p, 0, -1)
+        else:
+            R0 = poly_expansion(ia, cfg.poly_n, cfg.poly_sigma)
+            R1 = poly_expansion(ib, cfg.poly_n, cfg.poly_sigma)
+            for _ in range(cfg.iterations):
+                M = update_matrices(R0, R1, flow)
+                flow = update_flow(M, cfg.winsize, cfg.gaussian_win)
     return flow

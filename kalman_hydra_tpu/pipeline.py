@@ -42,7 +42,7 @@ class Carry(NamedTuple):
 
 def _flow_field(prev_gray, gray, cfg: RunConfig):
     if cfg.flow.method == "farneback":
-        return farneback(prev_gray, gray, cfg.flow)
+        return farneback(prev_gray, gray, cfg.flow, impl=cfg.impl)
     if cfg.flow.method == "lk_dense":
         return lk_ops.lk_dense(prev_gray, gray, cfg.flow)
     raise ValueError(f"dense flow required, got {cfg.flow.method!r}")

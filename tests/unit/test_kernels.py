@@ -1,0 +1,112 @@
+"""Pallas-vs-XLA equivalence (SURVEY.md §4.2): every Pallas kernel against
+its jnp twin on the same inputs, in interpret mode on CPU — isolates
+kernel bugs from numerics-policy differences."""
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kalman_hydra_tpu.config import EkfConfig
+from kalman_hydra_tpu.kernels.ekf_pallas import ekf_fused_step
+from kalman_hydra_tpu.kernels.flow_update_pallas import flow_update
+from kalman_hydra_tpu.kernels.polyexp_pallas import poly_expansion_planar
+from kalman_hydra_tpu.kernels.pyramid_pallas import pyr_down as pyr_down_pl
+from kalman_hydra_tpu.models import dynamics as dyn
+from kalman_hydra_tpu.models import ekf as jekf
+from kalman_hydra_tpu.ops import farneback as FB
+
+
+@pytest.mark.parametrize("shape", [(64, 96), (37, 53), (257, 129)])
+def test_pyr_down_kernel_matches_cv2(shape, rng):
+    img = rng.uniform(0, 255, shape).astype(np.float32)
+    ref = cv2.pyrDown(img)
+    got = np.asarray(pyr_down_pl(jnp.asarray(img), interpret=True))
+    assert got.shape == ref.shape
+    assert np.abs(ref - got).max() < 1e-3
+
+
+@pytest.mark.parametrize("pn,ps", [(5, 1.1), (7, 1.5)])
+def test_polyexp_kernel_matches_xla(pn, ps, rng):
+    img = rng.uniform(0, 255, (100, 130)).astype(np.float32)
+    ref = np.asarray(FB.poly_expansion(jnp.asarray(img), pn, ps))
+    got = np.asarray(poly_expansion_planar(jnp.asarray(img), pn, ps,
+                                           interpret=True))
+    assert np.abs(ref - np.moveaxis(got, 0, -1)).max() < 1e-3
+
+
+@pytest.mark.parametrize("gaussian", [False, True])
+def test_flow_update_kernel_matches_xla(gaussian, rng):
+    h, w = 96, 128
+    a = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    b = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    R0 = FB.poly_expansion(jnp.asarray(a), 5, 1.1)
+    R1 = FB.poly_expansion(jnp.asarray(b), 5, 1.1)
+    flow = jnp.asarray(rng.uniform(-2, 2, (h, w, 2)).astype(np.float32))
+    R1w = FB._warp_poly(R1, flow)
+    M = FB.update_matrices(R0, R1, flow)
+    ref = np.asarray(FB.update_flow(M, 15, gaussian))
+    got = np.asarray(flow_update(
+        jnp.moveaxis(R0, -1, 0), jnp.moveaxis(R1w, -1, 0),
+        jnp.moveaxis(flow, -1, 0), 15, gaussian, interpret=True))
+    assert np.abs(ref - np.moveaxis(got, 0, -1)).max() < 1e-4
+
+
+@pytest.mark.parametrize("state_dim", [4, 6])
+def test_ekf_kernel_matches_xla(state_dim, rng):
+    cfg = EkfConfig(state_dim=state_dim)
+    K, n = 200, state_dim
+    F = dyn.transition(cfg)
+    Q = dyn.process_noise(cfg)
+    H = dyn.position_H(cfg)
+    R = (cfg.r * np.eye(2)).astype(np.float32)
+    x = rng.normal(size=(K, n)).astype(np.float32)
+    P = np.broadcast_to(np.eye(n, dtype=np.float32) * 3, (K, n, n)).copy()
+    z = rng.normal(size=(K, 2)).astype(np.float32) * 3
+
+    xp, Pp = jekf.predict(jnp.asarray(x), jnp.asarray(P), jnp.asarray(F),
+                          jnp.asarray(Q))
+    y = jnp.asarray(z) - xp[:, 0:2]
+    xr, Pr, nr = jekf.update(xp, Pp, y, jnp.asarray(H), jnp.asarray(R))
+    xg, Pg, ng = ekf_fused_step(jnp.asarray(x), jnp.asarray(P), y,
+                                jnp.asarray(H), F, Q, cfg.r, interpret=True)
+    assert np.abs(np.asarray(xg) - np.asarray(xr)).max() < 1e-4
+    assert np.abs(np.asarray(Pg) - np.asarray(Pr)).max() < 1e-4
+    assert np.abs(np.asarray(ng) - np.asarray(nr)).max() < 1e-4
+
+
+def test_ekf_kernel_per_track_H(rng):
+    """Implicit-flow EKF uses a per-track H — kernel must handle (K,2,n)."""
+    cfg = EkfConfig(state_dim=4)
+    K, n = 130, 4
+    F = dyn.transition(cfg)
+    Q = dyn.process_noise(cfg)
+    R = (cfg.r * np.eye(2)).astype(np.float32)
+    x = rng.normal(size=(K, n)).astype(np.float32)
+    P = np.broadcast_to(np.eye(n, dtype=np.float32) * 2, (K, n, n)).copy()
+    H = rng.normal(size=(K, 2, n)).astype(np.float32) * 0.3
+    H[:, 0, 0] += 1.0
+    H[:, 1, 1] += 1.0
+    y = rng.normal(size=(K, 2)).astype(np.float32)
+
+    xp, Pp = jekf.predict(jnp.asarray(x), jnp.asarray(P), jnp.asarray(F),
+                          jnp.asarray(Q))
+    xr, Pr, nr = jekf.update(xp, Pp, jnp.asarray(y), jnp.asarray(H),
+                             jnp.asarray(R))
+    xg, Pg, ng = ekf_fused_step(jnp.asarray(x), jnp.asarray(P),
+                                jnp.asarray(y), jnp.asarray(H), F, Q, cfg.r,
+                                interpret=True)
+    assert np.abs(np.asarray(xg) - np.asarray(xr)).max() < 1e-4
+    assert np.abs(np.asarray(ng) - np.asarray(nr)).max() < 2e-4
+
+
+def test_farneback_pallas_impl_matches_xla():
+    from kalman_hydra_tpu.config import FlowConfig
+    from kalman_hydra_tpu.io.synthetic import translating_pair
+    a, b, _ = translating_pair(height=96, width=96, shift=(2.0, -1.0))
+    cfg = FlowConfig(levels=2)
+    ref = np.asarray(FB.farneback(jnp.asarray(a), jnp.asarray(b), cfg))
+    got = np.asarray(FB.farneback(jnp.asarray(a), jnp.asarray(b), cfg,
+                                  impl="pallas", interpret=True))
+    assert np.abs(ref - got).max() < 1e-3
