@@ -66,6 +66,15 @@ def track_video(source: Union[str, np.ndarray],
     return tracks
 
 
+def flow_sequence(frames, cfg: Optional[RunConfig] = None,
+                  smooth: bool = False) -> np.ndarray:
+    """Dense flow for each consecutive pair of a (T, H, W[, 3]) uint8 clip,
+    optionally per-pixel-KF smoothed (BASELINE.json:8)."""
+    cfg = cfg or RunConfig()
+    from . import pipeline as pl
+    return np.asarray(pl.flow_sequence(jnp.asarray(frames), cfg, smooth))
+
+
 def smooth(frames_or_tracks, cfg: Optional[RunConfig] = None) -> Trajectories:
     """Run the pipeline with the RTS smoother enabled (BASELINE.json:11)."""
     cfg = (cfg or RunConfig())

@@ -158,6 +158,25 @@ def _track_clip_jit(frames, cfg: RunConfig, with_history: bool,
     return track_arrays(frames, cfg, with_history, seeds)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "smooth"))
+def flow_sequence(frames, cfg: RunConfig, smooth: bool = False):
+    """Dense flow for every consecutive frame pair of a (T, H, W[, 3])
+    clip -> (T-1, H, W, 2), optionally per-pixel-KF smoothed
+    (BASELINE.json:8 config 2). One jitted scan; frames stay in HBM.
+    """
+    grays = grayscale_u8(frames)
+
+    def body(prev_gray, gray):
+        fl = _flow_field(prev_gray, gray, cfg)
+        return gray, fl
+
+    _, flows = lax.scan(body, grays[0], grays[1:])
+    if smooth:
+        from .models.pixel_ekf import PixelEkfParams, smooth_flow_sequence
+        flows = smooth_flow_sequence(flows, PixelEkfParams())
+    return flows
+
+
 def track_clip(frames: np.ndarray, cfg: RunConfig,
                seeds: Optional[np.ndarray] = None,
                with_history: bool = False) -> Trajectories:

@@ -102,3 +102,15 @@ def test_implicit_flow_ekf_runs(clip96):
     err = np.linalg.norm(tr.positions[-1] - truth.positions[-1], axis=-1)
     assert np.isfinite(tr.positions).all()
     assert err.mean() < 4.0
+
+
+def test_flow_sequence_with_pixel_smoothing(clip96):
+    frames, truth = clip96
+    from kalman_hydra_tpu import api
+    cfg = RunConfig(flow=FlowConfig(levels=3))
+    flows = api.flow_sequence(frames, cfg, smooth=True)
+    assert flows.shape == (5, 96, 96, 2)
+    # blob moves ~(1.7, -1.1): flow at the blob center should be close
+    c = truth.positions[2].mean(axis=0).astype(int)
+    v = flows[2, c[1], c[0]]
+    assert np.abs(v - truth.velocity[2]).max() < 0.5
