@@ -60,8 +60,12 @@ def make_step(cfg: RunConfig):
 
         if cfg.flow.method == "lk_sparse":
             pos = carry.tracks.x[:, 0:2]
-            new_pts, ok = lk_ops.lk_sparse(carry.prev_gray, gray, pos,
-                                           cfg.flow)
+            if cfg.impl == "pallas":
+                from .kernels.lk_pallas import lk_sparse as _lk_pl
+                new_pts, ok = _lk_pl(carry.prev_gray, gray, pos, cfg.flow)
+            else:
+                new_pts, ok = lk_ops.lk_sparse(carry.prev_gray, gray, pos,
+                                               cfg.flow)
             state = carry.tracks
             x_pred, P_pred = _predict_only(state, F, Q)
             z = pos + (new_pts - pos)  # = new_pts; kept explicit for clarity

@@ -110,3 +110,23 @@ def test_farneback_pallas_impl_matches_xla():
     got = np.asarray(FB.farneback(jnp.asarray(a), jnp.asarray(b), cfg,
                                   impl="pallas", interpret=True))
     assert np.abs(ref - got).max() < 1e-3
+
+
+def test_lk_sparse_kernel_matches_xla():
+    from kalman_hydra_tpu.config import FlowConfig
+    from kalman_hydra_tpu.io.synthetic import translating_pair
+    from kalman_hydra_tpu.kernels import lk_pallas as LP
+    from kalman_hydra_tpu.ops import lk as L
+    a, b, _ = translating_pair(height=96, width=96, shift=(2.0, -1.5),
+                               seed=0)
+    cfg = FlowConfig(levels=3)
+    pts = np.stack(np.meshgrid(np.arange(24, 73, 12),
+                               np.arange(24, 73, 12)), -1)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    ref_pts, ref_st = L.lk_sparse(jnp.asarray(a), jnp.asarray(b),
+                                  jnp.asarray(pts), cfg)
+    got_pts, got_st = LP.lk_sparse(jnp.asarray(a), jnp.asarray(b),
+                                   jnp.asarray(pts), cfg, interpret=True)
+    assert (np.asarray(ref_st) == np.asarray(got_st)).all()
+    m = np.asarray(ref_st) & np.asarray(got_st)
+    assert np.abs(np.asarray(got_pts)[m] - np.asarray(ref_pts)[m]).max() < 1e-3
