@@ -70,3 +70,39 @@ def rts_smooth(F: jnp.ndarray,
     else:
         xs, Ps = xs_rev, Ps_rev
     return xs, Ps
+
+
+def rts_smooth_chunked(F, x_filt, P_filt, x_pred, P_pred, chunk: int):
+    """Host-chunked RTS for long horizons (SURVEY.md §3.4 memory plan).
+
+    Inputs are HOST arrays (T, K, ...); the device holds one `chunk` of
+    history at a time — O(chunk) device memory instead of O(T). The
+    smoothed boundary state threads between chunks, so the result equals
+    the monolithic `rts_smooth` exactly.
+    """
+    import numpy as np
+    import jax
+
+    T = x_filt.shape[0]
+    F_d = jnp.asarray(F)
+    xs_out = np.empty_like(np.asarray(x_filt))
+    Ps_out = np.empty_like(np.asarray(P_filt))
+    xs_out[-1] = x_filt[-1]
+    Ps_out[-1] = P_filt[-1]
+    init = (jnp.asarray(x_filt[-1]), jnp.asarray(P_filt[-1]))
+
+    hi = T - 1
+    while hi > 0:
+        lo = max(0, hi - chunk)
+        # smooth frames [lo, hi): needs predictions for [lo+1, hi]
+        xs_c, Ps_c = rts_smooth(
+            F_d,
+            jnp.asarray(x_filt[lo:hi]), jnp.asarray(P_filt[lo:hi]),
+            jnp.asarray(x_pred[lo + 1:hi + 1]),
+            jnp.asarray(P_pred[lo + 1:hi + 1]),
+            init=init)
+        xs_out[lo:hi] = np.asarray(xs_c)
+        Ps_out[lo:hi] = np.asarray(Ps_c)
+        init = (xs_c[0], Ps_c[0])
+        hi = lo
+    return xs_out, Ps_out

@@ -153,3 +153,23 @@ def test_reseed_fills_dead_slots_from_corners():
     assert np.asarray(out.track_id)[1] == 1
     assert np.asarray(out.track_id)[3] == 1
     assert np.asarray(out.track_id)[[0, 2, 4, 5]].max() == 0
+
+
+def test_chunked_rts_equals_monolithic(rng):
+    cfg = EkfConfig(state_dim=4, q=0.1, r=0.5)
+    T, K = 23, 2
+    F = dyn.transition(cfg)
+    v = np.array([1.0, -0.5])
+    truth = np.broadcast_to(
+        np.cumsum(np.broadcast_to(v, (T, 2)), axis=0)[:, None, :],
+        (T, K, 2)).copy() + 20.0
+    z = truth + rng.normal(0, 0.5, size=(T, K, 2))
+    x0, P0 = ref_ekf.init_state(cfg, truth[0])
+    out = ref_ekf.filter_tracks(cfg, z, x0, P0)
+    args = [out["x_filt"].astype(np.float32), out["P_filt"].astype(np.float32),
+            out["x_pred"].astype(np.float32), out["P_pred"].astype(np.float32)]
+    xs_full, Ps_full = jrts.rts_smooth(jnp.asarray(F), *map(jnp.asarray, args))
+    for chunk in (5, 8, 23, 100):
+        xs_c, Ps_c = jrts.rts_smooth_chunked(F, *args, chunk=chunk)
+        np.testing.assert_allclose(xs_c, np.asarray(xs_full), atol=1e-4)
+        np.testing.assert_allclose(Ps_c, np.asarray(Ps_full), atol=1e-4)
