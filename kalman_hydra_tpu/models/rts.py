@@ -31,13 +31,17 @@ def _chol_solve_spd(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
 def rts_smooth(F: jnp.ndarray,
                x_filt: jnp.ndarray, P_filt: jnp.ndarray,
                x_pred: jnp.ndarray, P_pred: jnp.ndarray,
-               init: Tuple[jnp.ndarray, jnp.ndarray] = None):
+               init: Tuple[jnp.ndarray, jnp.ndarray] = None,
+               breaks: jnp.ndarray = None):
     """Smooth a (T, K, n) filtered trajectory.
 
     x_pred[t] / P_pred[t] are the one-step predictions *for* frame t.
     `init` optionally provides (x_s, P_s) at the step after the last frame
     of this chunk (for chunked smoothing); defaults to the final filtered
-    state. Returns (x_smooth (T, K, n), P_smooth (T, K, n, n)).
+    state. `breaks` ((T-1, K) bool, aligned with the smoothed steps) marks
+    track-segment boundaries (re-seed / death between t and t+1): the
+    recursion restarts from the filtered state there instead of smoothing
+    across the discontinuity. Returns (x_smooth, P_smooth).
     """
     T = x_filt.shape[0]
     if init is None:
@@ -49,10 +53,12 @@ def rts_smooth(F: jnp.ndarray,
         x_f, P_f = x_filt, P_filt
         # caller must pass predictions aligned one past each filtered step
         x_p, P_p = x_pred, P_pred
+    if breaks is None:
+        breaks = jnp.zeros(x_f.shape[:2], dtype=bool)
 
     def body(carry, inp):
         xs_next, Ps_next = carry
-        xf, Pf, xp, Pp = inp
+        xf, Pf, xp, Pp, brk = inp
         # C = Pf F^T Pp^-1  ==  solve(Pp, F Pf^T)^T
         FPf = jnp.einsum("ij,kjl->kil", F, Pf, precision=_PREC)   # (K, n, n)
         C = jnp.swapaxes(_chol_solve_spd(Pp, FPf), -1, -2)
@@ -60,10 +66,13 @@ def rts_smooth(F: jnp.ndarray,
         dP = Ps_next - Pp
         Ps = Pf + jnp.einsum("kij,kjl,kml->kim", C, dP, C, precision=_PREC)
         Ps = 0.5 * (Ps + jnp.swapaxes(Ps, -1, -2))
+        xs = jnp.where(brk[:, None], xf, xs)
+        Ps = jnp.where(brk[:, None, None], Pf, Ps)
         return (xs, Ps), (xs, Ps)
 
     (_, _), (xs_rev, Ps_rev) = lax.scan(
-        body, (xs_last, Ps_last), (x_f, P_f, x_p, P_p), reverse=True)
+        body, (xs_last, Ps_last), (x_f, P_f, x_p, P_p, breaks),
+        reverse=True)
     if init is None:
         xs = jnp.concatenate([xs_rev, xs_last[None]], axis=0)
         Ps = jnp.concatenate([Ps_rev, Ps_last[None]], axis=0)

@@ -200,11 +200,16 @@ def track_clip(frames: np.ndarray, cfg: RunConfig,
         track_id=np.asarray(outs["track_id"]))
     if cfg.smooth.enabled and with_history:
         F = jnp.asarray(dynamics.transition(cfg.ekf))
+        # don't smooth across re-seed generation changes or dead frames
+        tid = np.asarray(outs["track_id"])
+        alive = np.asarray(outs["alive"])
+        breaks = (tid[1:] != tid[:-1]) | ~alive[1:] | ~alive[:-1]
         xs, _Ps = rts_smooth(F,
                              jnp.asarray(outs["x_filt"]),
                              jnp.asarray(outs["P_filt"]),
                              jnp.asarray(outs["x_pred"]),
-                             jnp.asarray(outs["P_pred"]))
+                             jnp.asarray(outs["P_pred"]),
+                             breaks=jnp.asarray(breaks))
         traj.smoothed = np.asarray(xs[..., 0:2])
     return traj
 
@@ -232,7 +237,9 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
         state, prev_gray, start_idx = ckpt.load_state(checkpoint_path)
         carry = Carry(tracks=jax.tree.map(jnp.asarray, state),
                       prev_gray=jnp.asarray(prev_gray))
-        for _ in range(start_idx):        # fast-forward the decoder
+        # frame_idx counts filter steps: state at frame_idx=k has consumed
+        # frames 0..k (frame 0 seeded the filter), so skip k+1 frames
+        for _ in range(start_idx + 1):
             next(it)
     else:
         if frame0 is None:

@@ -40,6 +40,8 @@ def trans_pair():
     return translating_pair(height=128, width=128, shift=(3.0, -2.0), seed=0)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test gets a fresh, identical stream (a shared
+    # session generator makes results depend on test execution order)
     return np.random.default_rng(1234)

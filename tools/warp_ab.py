@@ -90,12 +90,61 @@ def main():
             out_ch.append(lv * (1 - ax[..., 0]) + rv * ax[..., 0])
         return jnp.sum(jnp.stack(out_ch, -1)[::64, ::64])
 
+    def selectsum(Rx, fl, acc, D=8):
+        """Gather-free warp: one-hot select over +-D shifted copies.
+
+        Exact in the vertical pass; horizontal pass approximates by using
+        the vertically-lerped field at neighbor columns (error ~ flow
+        gradient x subpixel, negligible for smooth fields). Displacement
+        clamped to +-D.
+        """
+        dxf = jnp.clip(fl[..., 0] + acc * 1e-20, -D, D)
+        dyf = jnp.clip(fl[..., 1], -D, D)
+        y_idx = jnp.floor(dyf).astype(jnp.int32)          # in [-D, D]
+        x_idx = jnp.floor(dxf).astype(jnp.int32)
+        ay = (dyf - y_idx.astype(jnp.float32))[..., None]
+        ax = (dxf - x_idx.astype(jnp.float32))[..., None]
+        Rp = jnp.pad(Rx, ((D + 1, D + 1), (0, 0), (0, 0)), mode="edge")
+
+        vt = 0.0
+        vb = 0.0
+        for d in range(-D, D + 1):
+            m = (y_idx == d)[..., None]
+            sh = Rp[D + 1 + d:D + 1 + d + h]
+            sh1 = Rp[D + 2 + d:D + 2 + d + h]
+            vt = vt + jnp.where(m, sh, 0.0)
+            vb = vb + jnp.where(m, sh1, 0.0)
+        v = vt * (1 - ay) + vb * ay
+        vp = jnp.pad(v, ((0, 0), (D + 1, D + 1), (0, 0)), mode="edge")
+        ut = 0.0
+        ub = 0.0
+        for e in range(-D, D + 1):
+            m = (x_idx == e)[..., None]
+            ut = ut + jnp.where(m, vp[:, D + 1 + e:D + 1 + e + w], 0.0)
+            ub = ub + jnp.where(m, vp[:, D + 2 + e:D + 2 + e + w], 0.0)
+        out = ut * (1 - ax) + ub * ax
+        return jnp.sum(out[::64, ::64])
+
+    R1 = R[..., :1]
+
+    def flat_take_1ch(fl, acc):
+        x0, y0, ax, ay = coords(fl, acc)
+        base = y0 * w + x0
+        Rf1 = R1.reshape(h * w, 1)
+        g = lambda idx: jnp.take(Rf1, idx, axis=0)
+        out = (g(base) * (1 - ax) * (1 - ay) + g(base + 1) * ax * (1 - ay)
+               + g(base + w) * (1 - ax) * ay + g(base + w + 1) * ax * ay)
+        return jnp.sum(out[::64, ::64])
+
     cases = [
         ("hwc-adv (current)", lambda fl, acc: hwc_adv(R, fl, acc)),
         ("flat-take", lambda fl, acc: flat_take(Rf, fl, acc)),
+        ("flat-take-1ch", flat_take_1ch),
         ("flat-bf16", lambda fl, acc: jnp.float32(
             flat_take(Rb, fl, acc))),
         ("two-pass tal", lambda fl, acc: two_pass(R, fl, acc)),
+        ("selectsum D=8", lambda fl, acc: selectsum(R, fl, acc, 8)),
+        ("selectsum D=16", lambda fl, acc: selectsum(R, fl, acc, 16)),
     ]
     for name, fn in cases:
         try:
