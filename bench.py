@@ -39,7 +39,8 @@ def make_clip(t, h, w, seed=0):
     return frames, truth
 
 
-def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6):
+def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
+                         flow_method="farneback"):
     """Fused flow+EKF throughput on pre-staged device frames.
 
     Timing notes for this environment (axon relay): block_until_ready does
@@ -59,7 +60,7 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6):
     from kalman_hydra_tpu.ops.features import corner_pool
 
     cfg = RunConfig(
-        flow=FlowConfig(),  # cv2-default Farneback: 15/5/3, poly 5/1.1
+        flow=FlowConfig(method=flow_method),  # cv2 defaults: 15/5/3, 5/1.1
         ekf=EkfConfig(state_dim=state_dim),
         tracks=TrackConfig(num_tracks=num_tracks,
                            corner_pool=max(256, num_tracks)))
@@ -159,8 +160,9 @@ def bench_config(n):
     import jax
     import jax.numpy as jnp
     if n == 1:
-        # single frame-pair LK flow + 4-state EKF, 256x256 (CPU parity run)
-        fps = bench_fused_pipeline(256, 256, t=9, num_tracks=256, state_dim=4)
+        # single frame-pair LK flow + 4-state EKF, 256x256 (BASELINE.json:7)
+        fps = bench_fused_pipeline(256, 256, t=9, num_tracks=256, state_dim=4,
+                                   flow_method="lk_dense")
         return fps, bench_epe(256, 256), "fps_per_chip_cfg1_256p", None
     if n == 2:
         fps = bench_fused_pipeline(480, 854, t=9, num_tracks=256)

@@ -94,6 +94,7 @@ class TrackConfig:
     corner_block: int = 3       # structure-tensor window for Shi-Tomasi
     reinit: bool = True         # occlusion-gated re-seeding (BASELINE.json:11)
     corner_pool: int = 512      # per-frame candidate corners kept for re-init
+    seed_in_body: bool = False  # restrict seeding to the segmented body
 
 
 @dataclass(frozen=True)

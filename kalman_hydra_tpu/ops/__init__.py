@@ -1,3 +1,4 @@
 """Vision ops (XLA reference implementations; Pallas twins live in
 kalman_hydra_tpu.kernels behind the same signatures)."""
-from . import color, farneback, features, filters, lk, pyramid, warp  # noqa: F401
+from . import (color, farneback, features, filters, lk, pyramid, segment,  # noqa: F401
+               warp)

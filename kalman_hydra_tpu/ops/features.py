@@ -47,14 +47,19 @@ def min_eig_response(gray: jnp.ndarray, block_size: int = 3) -> jnp.ndarray:
     return (a + c) - jnp.sqrt((a - c) ** 2 + 4.0 * b * b)
 
 
-def corner_pool(gray: jnp.ndarray, cfg: TrackConfig, pool_size: int = None):
+def corner_pool(gray: jnp.ndarray, cfg: TrackConfig, pool_size: int = None,
+                mask: jnp.ndarray = None):
     """Top-k corner candidates with tile-based spacing.
 
     Returns (pts (P, 2) float32 (x, y), score (P,) float32). Slots beyond
     the number of confident corners carry score <= 0; callers mask on score.
+    `mask` optionally restricts candidates to a {0,1} region (segmented
+    body seeding, SURVEY.md §2.1 #5/#7).
     """
     pool_size = pool_size or cfg.corner_pool
     resp = min_eig_response(gray, cfg.corner_block)
+    if mask is not None:
+        resp = jnp.where(mask > 0, resp, 0.0)
     h, w = resp.shape
     tile = max(int(cfg.min_distance), 1)
     ph = (tile - h % tile) % tile

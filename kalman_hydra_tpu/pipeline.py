@@ -88,7 +88,11 @@ def make_step(cfg: RunConfig):
                                aux["nis"], cfg.ekf)
         state = lifecycle.kill_lost(state, cfg.ekf, h, w)
         if cfg.tracks.reinit:
-            cpts, cscore = corner_pool(gray, cfg.tracks)
+            mask = None
+            if cfg.tracks.seed_in_body:
+                from .ops.segment import segment_body
+                mask = segment_body(gray)
+            cpts, cscore = corner_pool(gray, cfg.tracks, mask=mask)
             state = lifecycle.reseed(state, cpts, cscore, cfg.ekf, cfg.tracks)
 
         out = {
@@ -112,10 +116,15 @@ def _predict_only(state: TrackState, F, Q):
 
 
 def init_from_frame(frame0, cfg: RunConfig) -> Carry:
-    """Seed the track pool from frame 0's corner pool."""
+    """Seed the track pool from frame 0's corner pool (optionally
+    restricted to the segmented body)."""
     gray0 = grayscale_u8(frame0)
+    mask = None
+    if cfg.tracks.seed_in_body:
+        from .ops.segment import segment_body
+        mask = segment_body(gray0)
     pts, score = corner_pool(gray0, cfg.tracks,
-                             pool_size=cfg.tracks.num_tracks)
+                             pool_size=cfg.tracks.num_tracks, mask=mask)
     state = init_tracks(cfg.ekf, pts, valid=score > 0)
     return Carry(tracks=state, prev_gray=gray0)
 

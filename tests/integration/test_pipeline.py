@@ -114,3 +114,19 @@ def test_flow_sequence_with_pixel_smoothing(clip96):
     c = truth.positions[2].mean(axis=0).astype(int)
     v = flows[2, c[1], c[0]]
     assert np.abs(v - truth.velocity[2]).max() < 0.5
+
+
+def test_seed_in_body_restricts_to_mask(clip96):
+    frames, truth = clip96
+    cfg = RunConfig(flow=FlowConfig(levels=3),
+                    tracks=TrackConfig(num_tracks=8, corner_pool=32,
+                                       seed_in_body=True))
+    tr = pl.track_clip(frames, cfg)
+    import jax.numpy as jnp
+    from kalman_hydra_tpu.ops.color import grayscale_u8
+    from kalman_hydra_tpu.ops.segment import segment_body
+    mask = np.asarray(segment_body(grayscale_u8(jnp.asarray(frames[0]))))
+    p0 = tr.positions[0][tr.alive[0]]
+    ys = np.clip(p0[:, 1].round().astype(int), 0, mask.shape[0] - 1)
+    xs = np.clip(p0[:, 0].round().astype(int), 0, mask.shape[1] - 1)
+    assert mask[ys, xs].mean() > 0.8
