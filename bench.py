@@ -17,10 +17,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: compiles on this 1-vCPU host are slow
+# and the TPU relay makes retries expensive — cache across processes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 CPU_BASELINE_1080P_FPS = 1.45  # BASELINE.md, measured on this container
 

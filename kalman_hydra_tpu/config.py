@@ -45,6 +45,9 @@ class FlowConfig:
     lk_max_iter: int = 10      # termination criteria maxCount
     lk_eps: float = 0.01       # termination criteria epsilon
     lk_min_eig: float = 1e-4   # minEigThreshold
+    # --- performance knobs ---
+    fast_warp: int = 0         # >0: gather-free select-sum warp with this
+                               # per-level displacement clamp (px); 0 = exact
 
     def __post_init__(self):
         if self.method not in ("farneback", "lk_dense", "lk_sparse"):

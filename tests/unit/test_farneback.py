@@ -89,3 +89,19 @@ def test_farneback_initial_flow(pair128):
     # seeded with the right answer + 1 iteration -> should stay close
     err = np.linalg.norm(got - init, axis=-1)[8:-8, 8:-8]
     assert err.mean() < 0.2
+
+
+def test_fast_warp_matches_exact(pair128):
+    """Select-sum warp vs the exact gather warp: sub-1e-2 px flow EPE."""
+    a, b, _ = pair128
+    cfg = FlowConfig()
+    fast = FlowConfig(fast_warp=8)
+    exact = _run(a, b, cfg)
+    got = _run(a, b, fast)
+    epe = np.linalg.norm(got - exact, axis=-1)
+    assert epe.mean() < 0.01
+    assert epe[8:-8, 8:-8].max() < 0.05
+    # and still matches cv2 within the contract
+    ref = ip.farneback(a, b, cfg)
+    epe2 = np.linalg.norm(got - ref, axis=-1)
+    assert epe2.mean() < 0.05

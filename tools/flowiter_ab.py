@@ -2,8 +2,11 @@
 XLA warp / update_matrices / update_flow vs the fused Pallas kernel, plus
 warp layout variants. Run solo (one TPU process!)."""
 
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import numpy as np
 

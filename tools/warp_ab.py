@@ -7,8 +7,11 @@ Variants of 'bilinearly sample 5 coefficient planes at p + flow(p)':
   flat-bf16   : flat-take on bfloat16 planes
 """
 
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import numpy as np
 
