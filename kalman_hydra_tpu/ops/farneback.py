@@ -220,21 +220,38 @@ def _warp_poly_selectsum(R1: jnp.ndarray, flow: jnp.ndarray,
     ay = (dyf - y_idx.astype(jnp.float32))[..., None]
     ax = (dxf - x_idx.astype(jnp.float32))[..., None]
 
+    c = R1.shape[2]
+    # rolled loops (fori_loop + dynamic_slice): identical work to the
+    # unrolled one-hot sum but O(1) HLO size — unrolled versions take tens
+    # of minutes to compile on this host at 1080p
     Rp = jnp.pad(R1, ((D + 1, D + 1), (0, 0), (0, 0)), mode="edge")
-    vt = jnp.zeros_like(R1)
-    vb = jnp.zeros_like(R1)
-    for d in range(-D, D + 1):
+
+    def vbody(i, acc):
+        vt, vb = acc
+        d = i - D
+        sh = lax.dynamic_slice(Rp, (i + 1, 0, 0), (h + 1, w, c))
         m = (y_idx == d)[..., None]
-        vt = vt + jnp.where(m, Rp[D + 1 + d:D + 1 + d + h], 0.0)
-        vb = vb + jnp.where(m, Rp[D + 2 + d:D + 2 + d + h], 0.0)
+        vt = vt + jnp.where(m, sh[:h], 0.0)
+        vb = vb + jnp.where(m, sh[1:], 0.0)
+        return vt, vb
+
+    vt, vb = lax.fori_loop(0, 2 * D + 1, vbody,
+                           (jnp.zeros_like(R1), jnp.zeros_like(R1)))
     v = vt * (1 - ay) + vb * ay
+
     vp = jnp.pad(v, ((0, 0), (D + 1, D + 1), (0, 0)), mode="edge")
-    ut = jnp.zeros_like(R1)
-    ub = jnp.zeros_like(R1)
-    for e in range(-D, D + 1):
+
+    def hbody(i, acc):
+        ut, ub = acc
+        e = i - D
+        sh = lax.dynamic_slice(vp, (0, i + 1, 0), (h, w + 1, c))
         m = (x_idx == e)[..., None]
-        ut = ut + jnp.where(m, vp[:, D + 1 + e:D + 1 + e + w], 0.0)
-        ub = ub + jnp.where(m, vp[:, D + 2 + e:D + 2 + e + w], 0.0)
+        ut = ut + jnp.where(m, sh[:, :w], 0.0)
+        ub = ub + jnp.where(m, sh[:, 1:], 0.0)
+        return ut, ub
+
+    ut, ub = lax.fori_loop(0, 2 * D + 1, hbody,
+                           (jnp.zeros_like(R1), jnp.zeros_like(R1)))
     return ut * (1 - ax) + ub * ax
 
 
@@ -255,6 +272,37 @@ def _warp_poly_planar(R1p: jnp.ndarray, flow_p: jnp.ndarray) -> jnp.ndarray:
     r11 = R1p[:, y0 + 1, x0 + 1]
     return (r00 * (1 - ax) * (1 - ay) + r01 * ax * (1 - ay)
             + r10 * (1 - ax) * ay + r11 * ax * ay)
+
+
+def polyexp_pyramid(img: jnp.ndarray, cfg: FlowConfig):
+    """Per-level polynomial-expansion planes for one frame (coarsest
+    first, matching farneback_levels order). The tracking pipeline caches
+    this in its scan carry so each frame's pyramid+polyexp is computed
+    once, not twice (SURVEY.md §3.1 hot-loop note)."""
+    imgs = farneback_images(img, cfg.levels, cfg.pyr_scale)
+    return tuple(poly_expansion(i, cfg.poly_n, cfg.poly_sigma)
+                 for i in imgs)
+
+
+def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
+                            flow0: Optional[jnp.ndarray] = None):
+    """Farneback iterations from precomputed polyexp pyramids."""
+    flow = None
+    for li in range(len(Rs_a)):
+        R0, R1 = Rs_a[li], Rs_b[li]
+        lh, lw = R0.shape[0], R0.shape[1]
+        if flow is None:
+            if flow0 is not None:
+                k = len(Rs_a) - 1
+                flow = resize_linear(flow0, lh, lw) * (cfg.pyr_scale ** k)
+            else:
+                flow = jnp.zeros((lh, lw, 2), jnp.float32)
+        else:
+            flow = resize_linear(flow, lh, lw) * (1.0 / cfg.pyr_scale)
+        for _ in range(cfg.iterations):
+            M = update_matrices(R0, R1, flow, fast_warp=cfg.fast_warp)
+            flow = update_flow(M, cfg.winsize, cfg.gaussian_win)
+    return flow
 
 
 def farneback(prev: jnp.ndarray, nxt: jnp.ndarray, cfg: FlowConfig,

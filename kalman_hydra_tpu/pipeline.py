@@ -38,6 +38,7 @@ from .ops.features import corner_pool
 class Carry(NamedTuple):
     tracks: TrackState
     prev_gray: jnp.ndarray  # (H, W) float32
+    prev_rpyr: Tuple = ()   # cached Farneback polyexp pyramid (per level)
 
 
 def _flow_field(prev_gray, gray, cfg: RunConfig):
@@ -80,6 +81,13 @@ def make_step(cfg: RunConfig):
                 P=jnp.where(m[..., None], P_new, P_pred))
             aux = {"x_pred": x_pred, "P_pred": P_pred,
                    "nis": jnp.where(live, nis, 0.0)}
+        elif cfg.flow.method == "farneback" and cfg.impl == "xla":
+            # reuse the cached polyexp pyramid of the previous frame
+            from .ops.farneback import (farneback_from_pyramids,
+                                        polyexp_pyramid)
+            rpyr = polyexp_pyramid(gray, cfg.flow)
+            flow = farneback_from_pyramids(carry.prev_rpyr, rpyr, cfg.flow)
+            state, aux = ekf_step(carry.tracks, flow, cfg.ekf, F, Q, R)
         else:
             flow = _flow_field(carry.prev_gray, gray, cfg)
             state, aux = ekf_step(carry.tracks, flow, cfg.ekf, F, Q, R)
@@ -105,7 +113,10 @@ def make_step(cfg: RunConfig):
             "x_pred": aux["x_pred"],
             "P_pred": aux["P_pred"],
         }
-        return Carry(tracks=state, prev_gray=gray), out
+        new_rpyr = (rpyr if (cfg.flow.method == "farneback"
+                             and cfg.impl == "xla") else carry.prev_rpyr)
+        return Carry(tracks=state, prev_gray=gray,
+                     prev_rpyr=new_rpyr), out
 
     return step
 
@@ -126,7 +137,11 @@ def init_from_frame(frame0, cfg: RunConfig) -> Carry:
     pts, score = corner_pool(gray0, cfg.tracks,
                              pool_size=cfg.tracks.num_tracks, mask=mask)
     state = init_tracks(cfg.ekf, pts, valid=score > 0)
-    return Carry(tracks=state, prev_gray=gray0)
+    rpyr = ()
+    if cfg.flow.method == "farneback" and cfg.impl == "xla":
+        from .ops.farneback import polyexp_pyramid
+        rpyr = polyexp_pyramid(gray0, cfg.flow)
+    return Carry(tracks=state, prev_gray=gray0, prev_rpyr=rpyr)
 
 
 def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
@@ -140,7 +155,8 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
     carry0 = init_from_frame(frames[0], cfg)
     if seeds is not None:
         state = init_tracks(cfg.ekf, seeds)
-        carry0 = Carry(tracks=state, prev_gray=carry0.prev_gray)
+        carry0 = Carry(tracks=state, prev_gray=carry0.prev_gray,
+                       prev_rpyr=carry0.prev_rpyr)
     step = make_step(cfg)
     carry, outs = lax.scan(step, carry0, frames[1:])
     if not with_history:
@@ -244,8 +260,13 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
     start_idx = 0
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         state, prev_gray, start_idx = ckpt.load_state(checkpoint_path)
+        rpyr = ()
+        if cfg.flow.method == "farneback" and cfg.impl == "xla":
+            from .ops.farneback import polyexp_pyramid
+            rpyr = jax.jit(polyexp_pyramid, static_argnames="cfg")(
+                jnp.asarray(prev_gray), cfg.flow)
         carry = Carry(tracks=jax.tree.map(jnp.asarray, state),
-                      prev_gray=jnp.asarray(prev_gray))
+                      prev_gray=jnp.asarray(prev_gray), prev_rpyr=rpyr)
         # frame_idx counts filter steps: state at frame_idx=k has consumed
         # frames 0..k (frame 0 seeded the filter), so skip k+1 frames
         for _ in range(start_idx + 1):
