@@ -206,6 +206,44 @@ def flow_sequence(frames, cfg: RunConfig, smooth: bool = False):
     return flows
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _track_flows_jit(flows, seeds, cfg: RunConfig):
+    F = jnp.asarray(dynamics.transition(cfg.ekf))
+    Q = jnp.asarray(dynamics.process_noise(cfg.ekf))
+    R = jnp.asarray(cfg.ekf.r * np.eye(2, dtype=np.float32))
+    state0 = init_tracks(cfg.ekf, seeds)
+
+    def step(state, flow):
+        state, aux = ekf_step(state, flow, cfg.ekf, F, Q, R)
+        state = lifecycle.gate(state, aux["x_pred"], aux["P_pred"],
+                               aux["nis"], cfg.ekf)
+        state = lifecycle.kill_lost(state, cfg.ekf,
+                                    flow.shape[0], flow.shape[1])
+        return state, {"pos": state.x[:, 0:2], "alive": state.alive,
+                       "nis": aux["nis"], "track_id": state.track_id}
+
+    _, outs = lax.scan(step, state0, flows)
+    first = {"pos": state0.x[:, 0:2], "alive": state0.alive,
+             "nis": jnp.zeros_like(outs["nis"][0]),
+             "track_id": state0.track_id}
+    return {k: jnp.concatenate([first[k][None], v]) for k, v in outs.items()}
+
+
+def track_precomputed_flow(flows: np.ndarray, seeds: np.ndarray,
+                           cfg: RunConfig) -> Trajectories:
+    """Track from a PRECOMPUTED (T-1, H, W, 2) flow sequence — the
+    reference's precomputed-flow-reader path (SURVEY.md §2.1 #8): no flow
+    computation, just the EKF stack over supplied fields. Re-seeding is
+    unavailable (no frames for the corner pool); gating/kill still apply.
+    """
+    outs = jax.device_get(_track_flows_jit(
+        jnp.asarray(flows), jnp.asarray(seeds), cfg))
+    return Trajectories(positions=np.asarray(outs["pos"]),
+                        alive=np.asarray(outs["alive"]),
+                        nis=np.asarray(outs["nis"]),
+                        track_id=np.asarray(outs["track_id"]))
+
+
 def track_clip(frames: np.ndarray, cfg: RunConfig,
                seeds: Optional[np.ndarray] = None,
                with_history: bool = False) -> Trajectories:

@@ -130,3 +130,13 @@ def test_seed_in_body_restricts_to_mask(clip96):
     ys = np.clip(p0[:, 1].round().astype(int), 0, mask.shape[0] - 1)
     xs = np.clip(p0[:, 0].round().astype(int), 0, mask.shape[1] - 1)
     assert mask[ys, xs].mean() > 0.8
+
+
+def test_track_precomputed_flow_matches_online(clip96, cfg96):
+    frames, truth = clip96
+    from kalman_hydra_tpu import api
+    flows = api.flow_sequence(frames, cfg96)
+    seeds = truth.positions[0].astype(np.float32)
+    tr_pre = pl.track_precomputed_flow(flows, seeds, cfg96)
+    tr_on = pl.track_clip(frames, cfg96, seeds=seeds)
+    np.testing.assert_allclose(tr_pre.positions, tr_on.positions, atol=1e-4)
