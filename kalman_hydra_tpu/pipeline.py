@@ -159,25 +159,33 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
                        prev_rpyr=carry0.prev_rpyr)
     step = make_step(cfg)
     carry, outs = lax.scan(step, carry0, frames[1:])
-    if not with_history:
-        outs = {k: v for k, v in outs.items()
-                if k in ("pos", "alive", "nis", "track_id")}
     # prepend the frame-0 row
     first = {
         "pos": carry0.tracks.x[:, 0:2],
         "alive": carry0.tracks.alive,
         "nis": jnp.zeros_like(outs["nis"][0]),
         "track_id": carry0.tracks.track_id,
+        "x_filt": carry0.tracks.x,
+        "P_filt": carry0.tracks.P,
+        "x_pred": carry0.tracks.x,
+        "P_pred": carry0.tracks.P,
     }
-    if with_history:
-        first.update({
-            "x_filt": carry0.tracks.x,
-            "P_filt": carry0.tracks.P,
-            "x_pred": carry0.tracks.x,
-            "P_pred": carry0.tracks.P,
-        })
     outs = {k: jnp.concatenate([first[k][None], v], axis=0)
             for k, v in outs.items()}
+    if cfg.smooth.enabled:
+        # RTS on device (history never leaves HBM; the relay makes host
+        # round-trips of P histories expensive) with segment breaks at
+        # re-seeds / dead frames
+        tid = outs["track_id"]
+        alive = outs["alive"]
+        breaks = (tid[1:] != tid[:-1]) | ~alive[1:] | ~alive[:-1]
+        F = jnp.asarray(dynamics.transition(cfg.ekf))
+        xs, _Ps = rts_smooth(F, outs["x_filt"], outs["P_filt"],
+                             outs["x_pred"], outs["P_pred"], breaks=breaks)
+        outs["smoothed"] = xs[..., 0:2]
+    if not with_history:
+        outs = {k: v for k, v in outs.items()
+                if k in ("pos", "alive", "nis", "track_id", "smoothed")}
     return outs
 
 
@@ -260,20 +268,9 @@ def track_clip(frames: np.ndarray, cfg: RunConfig,
         positions=np.asarray(outs["pos"]),
         alive=np.asarray(outs["alive"]),
         nis=np.asarray(outs["nis"]),
-        track_id=np.asarray(outs["track_id"]))
-    if cfg.smooth.enabled and with_history:
-        F = jnp.asarray(dynamics.transition(cfg.ekf))
-        # don't smooth across re-seed generation changes or dead frames
-        tid = np.asarray(outs["track_id"])
-        alive = np.asarray(outs["alive"])
-        breaks = (tid[1:] != tid[:-1]) | ~alive[1:] | ~alive[:-1]
-        xs, _Ps = rts_smooth(F,
-                             jnp.asarray(outs["x_filt"]),
-                             jnp.asarray(outs["P_filt"]),
-                             jnp.asarray(outs["x_pred"]),
-                             jnp.asarray(outs["P_pred"]),
-                             breaks=jnp.asarray(breaks))
-        traj.smoothed = np.asarray(xs[..., 0:2])
+        track_id=np.asarray(outs["track_id"]),
+        smoothed=(np.asarray(outs["smoothed"])
+                  if "smoothed" in outs else None))
     return traj
 
 
