@@ -64,8 +64,14 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
                                          TrackConfig)
     from kalman_hydra_tpu.ops.features import corner_pool
 
+    fast_warp = int(os.environ.get("KH_FAST_WARP", "8"))
     cfg = RunConfig(
-        flow=FlowConfig(method=flow_method),  # cv2 defaults: 15/5/3, 5/1.1
+        # cv2-default Farneback params (15/5/3, poly 5/1.1); fast_warp
+        # replaces the TPU-hostile gather warp with the select-sum warp
+        # (<0.01 px EPE delta, PARITY.md) — set KH_FAST_WARP=0 for exact
+        flow=FlowConfig(method=flow_method,
+                        fast_warp=0 if flow_method != "farneback"
+                        else fast_warp),
         ekf=EkfConfig(state_dim=state_dim),
         tracks=TrackConfig(num_tracks=num_tracks,
                            corner_pool=max(256, num_tracks)))
@@ -123,7 +129,7 @@ def bench_epe(h=256, w=256):
     a, b, _ = translating_pair(height=h, width=w, shift=(3.0, -2.0))
     a8 = np.round(a).astype(np.uint8)
     b8 = np.round(b).astype(np.uint8)
-    cfg = FlowConfig()
+    cfg = FlowConfig(fast_warp=int(os.environ.get("KH_FAST_WARP", "8")))
     ref = ip.farneback(a8, b8, cfg)
     # compute EPE on device and fetch only the scalar (slow D2H relay)
     epe = float(np.asarray(jax.jit(
