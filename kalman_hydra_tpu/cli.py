@@ -18,8 +18,7 @@ import numpy as np
 
 
 def _load_cfg(args):
-    from .config import (EkfConfig, FlowConfig, RunConfig, SmoothConfig,
-                         TrackConfig)
+    from .config import (FlowConfig, RunConfig, SmoothConfig, TrackConfig)
     if args.config:
         cfg = RunConfig.from_json(open(args.config).read())
     else:

@@ -10,9 +10,6 @@ candidate not too close to any living track.
 
 from __future__ import annotations
 
-from typing import Tuple
-
-import jax
 import jax.numpy as jnp
 
 from ..config import EkfConfig, TrackConfig

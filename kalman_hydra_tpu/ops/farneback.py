@@ -26,10 +26,9 @@ program per config; no host round-trips (BASELINE.json:5).
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

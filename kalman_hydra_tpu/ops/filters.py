@@ -12,10 +12,7 @@ cv2.BORDER_REPLICATE (numpy mode="edge").
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

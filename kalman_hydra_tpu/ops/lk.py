@@ -14,8 +14,6 @@ everything jit-compiles to one XLA program.
 
 from __future__ import annotations
 
-from typing import List, Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -26,8 +24,6 @@ from .filters import box_filter, correlate1d
 from .pyramid import build_pyramid, resize_linear
 from .warp import bilinear_sample, warp_image
 
-_SCHARR_D = np.array([-3.0, 0.0, 3.0], dtype=np.float32) / 32.0 * np.array(
-    [1, 1, 1], dtype=np.float32)
 _SCHARR_EDGE = np.array([-1.0, 0.0, 1.0], dtype=np.float32)
 _SCHARR_SMOOTH = np.array([3.0, 10.0, 3.0], dtype=np.float32) / 32.0
 

@@ -15,9 +15,8 @@ from typing import List, Tuple
 
 import numpy as np
 import jax.numpy as jnp
-import jax
 
-from .filters import (correlate1d, cv_round, gaussian_blur, sep_filter2d)
+from .filters import cv_round, gaussian_blur, sep_filter2d
 
 _PYR_K = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32) / 16.0
 

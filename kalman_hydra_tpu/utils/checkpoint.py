@@ -7,7 +7,7 @@ overkill for a few MB of filter state; keep deps minimal per SURVEY.md §5).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
