@@ -11,8 +11,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# cv2 fixed-point BT.601 (14-bit) coefficients for B, G, R
-_B, _G, _R = 1868, 9617, 4899
+# cv2 5.x fixed-point BT.601 (15-bit) coefficients for B, G, R
+_B, _G, _R = 3735, 19235, 9798
 
 
 def grayscale_u8(frame: jnp.ndarray) -> jnp.ndarray:
@@ -20,7 +20,8 @@ def grayscale_u8(frame: jnp.ndarray) -> jnp.ndarray:
     gray values (bit-identical to cv2.cvtColor on uint8)."""
     if frame.ndim >= 3 and frame.shape[-1] == 3:
         f = frame.astype(jnp.int32)
-        y = (f[..., 0] * _B + f[..., 1] * _G + f[..., 2] * _R + 8192) >> 14
+        y = (f[..., 0] * _B + f[..., 1] * _G + f[..., 2] * _R
+             + (1 << 14)) >> 15
         return y.astype(jnp.float32)
     return frame.astype(jnp.float32)
 

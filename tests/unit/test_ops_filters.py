@@ -13,7 +13,7 @@ from kalman_hydra_tpu.ops import pyramid as P
 from kalman_hydra_tpu.ops import warp as W
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()
 def img(rng):
     return rng.uniform(0, 255, (37, 53)).astype(np.float32)
 
