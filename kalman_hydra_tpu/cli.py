@@ -12,9 +12,12 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import logging
 import sys
 
 import numpy as np
+
+logger = logging.getLogger("kalman_hydra_tpu")
 
 
 def _load_cfg(args):
@@ -36,6 +39,8 @@ def _load_cfg(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kalman_hydra_tpu")
+    ap.add_argument("--v", action="count", default=0,
+                    help="verbosity (-v info, -vv debug)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("track", help="track a video -> trajectories")
@@ -72,6 +77,10 @@ def main(argv=None):
     b.add_argument("--quick", action="store_true")
 
     args = ap.parse_args(argv)
+    logging.basicConfig(
+        level=(logging.WARNING if args.v == 0
+               else logging.INFO if args.v == 1 else logging.DEBUG),
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
 
     if args.cmd == "track":
         from . import api
@@ -99,8 +108,15 @@ def main(argv=None):
         else:
             tracks = run()
         live = tracks.alive.mean()
+        from .utils.report import run_report
+        rep = run_report(tracks)
+        logger.info("run report: %s", json.dumps(rep, sort_keys=True))
+        report_path = args.out.rsplit(".", 1)[0] + ".report.json"
+        with open(report_path, "w") as f:
+            json.dump(rep, f, indent=2, sort_keys=True)
         print(f"tracked {tracks.num_frames} frames x "
-              f"{tracks.num_tracks} slots (live {live:.0%}) -> {args.out}")
+              f"{tracks.num_tracks} slots (live {live:.0%}) -> {args.out} "
+              f"(+ {report_path})")
         return 0
 
     if args.cmd == "flow":
