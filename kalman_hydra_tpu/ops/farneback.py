@@ -273,35 +273,155 @@ def _warp_poly_planar(R1p: jnp.ndarray, flow_p: jnp.ndarray) -> jnp.ndarray:
             + r10 * (1 - ax) * ay + r11 * ax * ay)
 
 
+
+
+# --------------------------------------------------------------- planar path
+# Internal planar (C, H, W) layout: each plane tiles the TPU's (8, 128)
+# registers fully, where channel-last (H, W, 5) arrays waste 123/128 lanes
+# on every elementwise/cumsum pass. The public API stays (H, W, 2).
+
+def poly_expansion_p(img: jnp.ndarray, n: int, sigma: float) -> jnp.ndarray:
+    """Planar twin of poly_expansion: (H, W) -> (5, H, W)."""
+    g, ig11, ig03, ig33, ig55 = _poly_inv_gram(n, float(sigma))
+    i = np.arange(-n, n + 1, dtype=np.float32)
+    xg = (i * g).astype(np.float32)
+    xxg = (i * i * g).astype(np.float32)
+    f = img.astype(jnp.float32)
+    v0 = correlate1d(f, g, axis=-2, border="replicate")
+    v1 = correlate1d(f, xg, axis=-2, border="replicate")
+    v2 = correlate1d(f, xxg, axis=-2, border="replicate")
+    m00 = correlate1d(v0, g, axis=-1, border="replicate")
+    m10 = correlate1d(v0, xg, axis=-1, border="replicate")
+    m20 = correlate1d(v0, xxg, axis=-1, border="replicate")
+    m01 = correlate1d(v1, g, axis=-1, border="replicate")
+    m11 = correlate1d(v1, xg, axis=-1, border="replicate")
+    m02 = correlate1d(v2, g, axis=-1, border="replicate")
+    return jnp.stack([m10 * ig11, m01 * ig11,
+                      m00 * ig03 + m20 * ig33,
+                      m00 * ig03 + m02 * ig33,
+                      m11 * ig55], axis=0)
+
+
+def _warp_poly_selectsum_p(R1p: jnp.ndarray, flow_p: jnp.ndarray,
+                           max_disp: int) -> jnp.ndarray:
+    """Planar select-sum warp: (5, H, W) planes by (2, H, W) flow."""
+    c, h, w = R1p.shape
+    D = max_disp
+    dxf = jnp.clip(flow_p[0], -D, D)
+    dyf = jnp.clip(flow_p[1], -D, D)
+    y_idx = jnp.floor(dyf).astype(jnp.int32)
+    x_idx = jnp.floor(dxf).astype(jnp.int32)
+    ay = (dyf - y_idx.astype(jnp.float32))[None]
+    ax = (dxf - x_idx.astype(jnp.float32))[None]
+
+    Rp = jnp.pad(R1p, ((0, 0), (D + 1, D + 1), (0, 0)), mode="edge")
+
+    def vbody(i, acc):
+        vt, vb = acc
+        d = i - D
+        sh = lax.dynamic_slice(Rp, (0, i + 1, 0), (c, h + 1, w))
+        m = (y_idx == d)[None]
+        vt = vt + jnp.where(m, sh[:, :h], 0.0)
+        vb = vb + jnp.where(m, sh[:, 1:], 0.0)
+        return vt, vb
+
+    vt, vb = lax.fori_loop(0, 2 * D + 1, vbody,
+                           (jnp.zeros_like(R1p), jnp.zeros_like(R1p)))
+    v = vt * (1 - ay) + vb * ay
+    vp = jnp.pad(v, ((0, 0), (0, 0), (D + 1, D + 1)), mode="edge")
+
+    def hbody(i, acc):
+        ut, ub = acc
+        e = i - D
+        sh = lax.dynamic_slice(vp, (0, 0, i + 1), (c, h, w + 1))
+        m = (x_idx == e)[None]
+        ut = ut + jnp.where(m, sh[:, :, :w], 0.0)
+        ub = ub + jnp.where(m, sh[:, :, 1:], 0.0)
+        return ut, ub
+
+    ut, ub = lax.fori_loop(0, 2 * D + 1, hbody,
+                           (jnp.zeros_like(R1p), jnp.zeros_like(R1p)))
+    return ut * (1 - ax) + ub * ax
+
+
+def update_matrices_p(R0p: jnp.ndarray, R1p: jnp.ndarray,
+                      flow_p: jnp.ndarray, fast_warp: int = 0) -> jnp.ndarray:
+    """Planar twin of update_matrices: (5,H,W) x2 + (2,H,W) -> M (5,H,W)."""
+    h, w = R0p.shape[1], R0p.shape[2]
+    if fast_warp > 0:
+        R1w = _warp_poly_selectsum_p(R1p, flow_p, fast_warp)
+    else:
+        R1w = _warp_poly_planar(R1p, flow_p)
+    dx = flow_p[0]
+    dy = flow_p[1]
+    a_xx = (R0p[2] + R1w[2]) * 0.5
+    a_yy = (R0p[3] + R1w[3]) * 0.5
+    axy = (R0p[4] + R1w[4]) * 0.25
+    db_x = (R0p[0] - R1w[0]) * 0.5 + a_xx * dx + axy * dy
+    db_y = (R0p[1] - R1w[1]) * 0.5 + axy * dx + a_yy * dy
+
+    damp = _border_damp(h, w)
+    a_xx = a_xx * damp
+    a_yy = a_yy * damp
+    axy = axy * damp
+    db_x = db_x * damp
+    db_y = db_y * damp
+
+    return jnp.stack([a_xx * a_xx + axy * axy,
+                      (a_xx + a_yy) * axy,
+                      a_yy * a_yy + axy * axy,
+                      a_xx * db_x + axy * db_y,
+                      axy * db_x + a_yy * db_y], axis=0)
+
+
+def update_flow_p(Mp: jnp.ndarray, winsize: int, gaussian: bool
+                  ) -> jnp.ndarray:
+    """Planar twin of update_flow: M (5,H,W) -> flow (2,H,W)."""
+    if gaussian:
+        m = winsize // 2
+        kern = gaussian_kernel(2 * m + 1, m * 0.3)
+        Ms = correlate1d(correlate1d(Mp, kern, axis=-2, border="replicate"),
+                         kern, axis=-1, border="replicate")
+    else:
+        Ms = box_filter(box_filter(Mp, winsize, axis=-2, border="replicate"),
+                        winsize, axis=-1, border="replicate")
+    g11, g12, g22, h1, h2 = Ms[0], Ms[1], Ms[2], Ms[3], Ms[4]
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    return jnp.stack([(g22 * h1 - g12 * h2) * idet,
+                      (g11 * h2 - g12 * h1) * idet], axis=0)
+
+
 def polyexp_pyramid(img: jnp.ndarray, cfg: FlowConfig):
     """Per-level polynomial-expansion planes for one frame (coarsest
     first, matching farneback_levels order). The tracking pipeline caches
     this in its scan carry so each frame's pyramid+polyexp is computed
     once, not twice (SURVEY.md §3.1 hot-loop note)."""
     imgs = farneback_images(img, cfg.levels, cfg.pyr_scale)
-    return tuple(poly_expansion(i, cfg.poly_n, cfg.poly_sigma)
+    return tuple(poly_expansion_p(i, cfg.poly_n, cfg.poly_sigma)
                  for i in imgs)
 
 
 def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                             flow0: Optional[jnp.ndarray] = None):
-    """Farneback iterations from precomputed polyexp pyramids."""
-    flow = None
+    """Farneback iterations from precomputed PLANAR polyexp pyramids
+    ((5, lh, lw) per level). Returns (H, W, 2)."""
+    flow_p = None
     for li in range(len(Rs_a)):
-        R0, R1 = Rs_a[li], Rs_b[li]
-        lh, lw = R0.shape[0], R0.shape[1]
-        if flow is None:
+        R0p, R1p = Rs_a[li], Rs_b[li]
+        lh, lw = R0p.shape[1], R0p.shape[2]
+        if flow_p is None:
             if flow0 is not None:
                 k = len(Rs_a) - 1
-                flow = resize_linear(flow0, lh, lw) * (cfg.pyr_scale ** k)
+                f0 = jnp.moveaxis(flow0, -1, 0)
+                flow_p = resize_linear(f0, lh, lw) * (cfg.pyr_scale ** k)
             else:
-                flow = jnp.zeros((lh, lw, 2), jnp.float32)
+                flow_p = jnp.zeros((2, lh, lw), jnp.float32)
         else:
-            flow = resize_linear(flow, lh, lw) * (1.0 / cfg.pyr_scale)
+            flow_p = resize_linear(flow_p, lh, lw) * (1.0 / cfg.pyr_scale)
         for _ in range(cfg.iterations):
-            M = update_matrices(R0, R1, flow, fast_warp=cfg.fast_warp)
-            flow = update_flow(M, cfg.winsize, cfg.gaussian_win)
-    return flow
+            Mp = update_matrices_p(R0p, R1p, flow_p, fast_warp=cfg.fast_warp)
+            flow_p = update_flow_p(Mp, cfg.winsize, cfg.gaussian_win)
+    return jnp.moveaxis(flow_p, 0, -1)
 
 
 def farneback(prev: jnp.ndarray, nxt: jnp.ndarray, cfg: FlowConfig,
@@ -314,13 +434,17 @@ def farneback(prev: jnp.ndarray, nxt: jnp.ndarray, cfg: FlowConfig,
     way (SURVEY.md §7 gather policy).
     """
     h, w = prev.shape[-2], prev.shape[-1]
+    use_pallas = impl == "pallas"
+    if not use_pallas:
+        # planar XLA path (full-lane layout; see planar section below)
+        Rs_a = polyexp_pyramid(prev, cfg)
+        Rs_b = polyexp_pyramid(nxt, cfg)
+        return farneback_from_pyramids(Rs_a, Rs_b, cfg, flow0=flow0)
     plan = farneback_levels(h, w, cfg.levels, cfg.pyr_scale)
     imgs_a = farneback_images(prev, cfg.levels, cfg.pyr_scale)
     imgs_b = farneback_images(nxt, cfg.levels, cfg.pyr_scale)
-    use_pallas = impl == "pallas"
-    if use_pallas:
-        from ..kernels.flow_update_pallas import flow_update as _fu
-        from ..kernels.polyexp_pallas import poly_expansion_planar as _pe
+    from ..kernels.flow_update_pallas import flow_update as _fu
+    from ..kernels.polyexp_pallas import poly_expansion_planar as _pe
 
     flow = None
     for li, (k, lh, lw, _sigma, _ks) in enumerate(plan):
