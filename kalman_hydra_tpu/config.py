@@ -47,6 +47,8 @@ class FlowConfig:
     # --- performance knobs ---
     fast_warp: int = 0         # >0: gather-free select-sum warp with this
                                # per-level displacement clamp (px); 0 = exact
+    bf16_poly: bool = False    # store polyexp planes in bfloat16 (halves
+                               # warp bandwidth; ~4e-4 px EPE, PARITY.md)
 
     def __post_init__(self):
         if self.method not in ("farneback", "lk_dense", "lk_sparse"):

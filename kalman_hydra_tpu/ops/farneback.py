@@ -307,12 +307,12 @@ def _warp_poly_selectsum_p(R1p: jnp.ndarray, flow_p: jnp.ndarray,
     """Planar select-sum warp: (5, H, W) planes by (2, H, W) flow."""
     c, h, w = R1p.shape
     D = max_disp
-    dxf = jnp.clip(flow_p[0], -D, D)
-    dyf = jnp.clip(flow_p[1], -D, D)
+    dxf = jnp.clip(flow_p[0].astype(jnp.float32), -D, D)
+    dyf = jnp.clip(flow_p[1].astype(jnp.float32), -D, D)
     y_idx = jnp.floor(dyf).astype(jnp.int32)
     x_idx = jnp.floor(dxf).astype(jnp.int32)
-    ay = (dyf - y_idx.astype(jnp.float32))[None]
-    ax = (dxf - x_idx.astype(jnp.float32))[None]
+    ay = (dyf - y_idx.astype(jnp.float32))[None].astype(R1p.dtype)
+    ax = (dxf - x_idx.astype(jnp.float32))[None].astype(R1p.dtype)
 
     Rp = jnp.pad(R1p, ((0, 0), (D + 1, D + 1), (0, 0)), mode="edge")
 
@@ -321,8 +321,9 @@ def _warp_poly_selectsum_p(R1p: jnp.ndarray, flow_p: jnp.ndarray,
         d = i - D
         sh = lax.dynamic_slice(Rp, (0, i + 1, 0), (c, h + 1, w))
         m = (y_idx == d)[None]
-        vt = vt + jnp.where(m, sh[:, :h], 0.0)
-        vb = vb + jnp.where(m, sh[:, 1:], 0.0)
+        zero = jnp.zeros((), Rp.dtype)
+        vt = vt + jnp.where(m, sh[:, :h], zero)
+        vb = vb + jnp.where(m, sh[:, 1:], zero)
         return vt, vb
 
     vt, vb = lax.fori_loop(0, 2 * D + 1, vbody,
@@ -335,8 +336,9 @@ def _warp_poly_selectsum_p(R1p: jnp.ndarray, flow_p: jnp.ndarray,
         e = i - D
         sh = lax.dynamic_slice(vp, (0, 0, i + 1), (c, h, w + 1))
         m = (x_idx == e)[None]
-        ut = ut + jnp.where(m, sh[:, :, :w], 0.0)
-        ub = ub + jnp.where(m, sh[:, :, 1:], 0.0)
+        zero = jnp.zeros((), vp.dtype)
+        ut = ut + jnp.where(m, sh[:, :, :w], zero)
+        ub = ub + jnp.where(m, sh[:, :, 1:], zero)
         return ut, ub
 
     ut, ub = lax.fori_loop(0, 2 * D + 1, hbody,
@@ -349,9 +351,13 @@ def update_matrices_p(R0p: jnp.ndarray, R1p: jnp.ndarray,
     """Planar twin of update_matrices: (5,H,W) x2 + (2,H,W) -> M (5,H,W)."""
     h, w = R0p.shape[1], R0p.shape[2]
     if fast_warp > 0:
-        R1w = _warp_poly_selectsum_p(R1p, flow_p, fast_warp)
+        R1w = _warp_poly_selectsum_p(R1p, flow_p.astype(R1p.dtype), fast_warp)
     else:
         R1w = _warp_poly_planar(R1p, flow_p)
+    # warp runs in the storage dtype (bf16 halves its bandwidth); the
+    # normal-equation products are always f32
+    R0p = R0p.astype(jnp.float32)
+    R1w = R1w.astype(jnp.float32)
     dx = flow_p[0]
     dy = flow_p[1]
     a_xx = (R0p[2] + R1w[2]) * 0.5
@@ -397,7 +403,8 @@ def polyexp_pyramid(img: jnp.ndarray, cfg: FlowConfig):
     this in its scan carry so each frame's pyramid+polyexp is computed
     once, not twice (SURVEY.md §3.1 hot-loop note)."""
     imgs = farneback_images(img, cfg.levels, cfg.pyr_scale)
-    return tuple(poly_expansion_p(i, cfg.poly_n, cfg.poly_sigma)
+    dt = jnp.bfloat16 if cfg.bf16_poly else jnp.float32
+    return tuple(poly_expansion_p(i, cfg.poly_n, cfg.poly_sigma).astype(dt)
                  for i in imgs)
 
 

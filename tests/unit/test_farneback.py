@@ -105,3 +105,13 @@ def test_fast_warp_matches_exact(pair128):
     ref = ip.farneback(a, b, cfg)
     epe2 = np.linalg.norm(got - ref, axis=-1)
     assert epe2.mean() < 0.05
+
+
+def test_bf16_poly_within_contract(pair128):
+    a, b, _ = pair128
+    ref = ip.farneback(a, b, FlowConfig())
+    for fw in (0, 8):
+        got = _run(a, b, FlowConfig(bf16_poly=True, fast_warp=fw))
+        epe = np.linalg.norm(got - ref, axis=-1)
+        assert epe.mean() < 0.05
+        assert epe[8:-8, 8:-8].mean() < 0.01
