@@ -65,13 +65,17 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
     from kalman_hydra_tpu.ops.features import corner_pool
 
     fast_warp = int(os.environ.get("KH_FAST_WARP", "8"))
+    bf16 = os.environ.get("KH_BF16_POLY", "1") == "1"
+    batch = int(os.environ.get("KH_BATCH", "1"))
     cfg = RunConfig(
         # cv2-default Farneback params (15/5/3, poly 5/1.1); fast_warp
         # replaces the TPU-hostile gather warp with the select-sum warp
-        # (<0.01 px EPE delta, PARITY.md) — set KH_FAST_WARP=0 for exact
+        # (<0.01 px EPE delta, PARITY.md) — set KH_FAST_WARP=0 for exact,
+        # KH_BF16_POLY=0 for f32 planes, KH_BATCH=N for vmapped clips
         flow=FlowConfig(method=flow_method,
                         fast_warp=0 if flow_method != "farneback"
-                        else fast_warp),
+                        else fast_warp,
+                        bf16_poly=bf16 and flow_method == "farneback"),
         ekf=EkfConfig(state_dim=state_dim),
         tracks=TrackConfig(num_tracks=num_tracks,
                            corner_pool=max(256, num_tracks)))
@@ -85,10 +89,17 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
                    axis=-1)[:num_tracks].astype(np.float32)
     base_seeds = jnp.asarray(pts)
 
+    if batch > 1:
+        frames_d = jnp.broadcast_to(frames_d, (batch,) + frames_d.shape)
+
     def repeat_run(f, R):
         def body(_i, acc):
             s = base_seeds + acc * 1e-20   # carry dep: defeats LICM
-            outs = pl.track_arrays(f, cfg, seeds=s)
+            if batch > 1:
+                outs = jax.vmap(
+                    lambda fr: pl.track_arrays(fr, cfg, seeds=s))(f)
+            else:
+                outs = pl.track_arrays(f, cfg, seeds=s)
             return acc + jnp.sum(outs["pos"][-1]) * 1e-6
         return lax.fori_loop(0, R, body, jnp.float32(0.0))
 
@@ -105,7 +116,7 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
     marginal = (times[3] - times[1]) / 2.0
     if marginal <= 0:
         marginal = times[3] / 3.0
-    fps = (t - 1) / marginal
+    fps = batch * (t - 1) / marginal
     log(f"{h}x{w} T={t} K={num_tracks}: {marginal*1e3:.1f} ms/clip steady "
         f"=> {fps:.2f} frames/s/chip")
     return fps
