@@ -140,7 +140,8 @@ def bench_epe(h=256, w=256):
     a, b, _ = translating_pair(height=h, width=w, shift=(3.0, -2.0))
     a8 = np.round(a).astype(np.uint8)
     b8 = np.round(b).astype(np.uint8)
-    cfg = FlowConfig(fast_warp=int(os.environ.get("KH_FAST_WARP", "8")))
+    cfg = FlowConfig(fast_warp=int(os.environ.get("KH_FAST_WARP", "8")),
+                     bf16_poly=os.environ.get("KH_BF16_POLY", "1") == "1")
     ref = ip.farneback(a8, b8, cfg)
     # compute EPE on device and fetch only the scalar (slow D2H relay)
     epe = float(np.asarray(jax.jit(
