@@ -52,3 +52,29 @@ def render_overlay(frames: np.ndarray, tracks: Trajectories,
 def write_overlay(path: str, frames: np.ndarray, tracks: Trajectories,
                   fps: float = 30.0, **kw) -> None:
     write_video(path, render_overlay(frames, tracks, **kw), fps=fps)
+
+
+def flow_to_rgb(flow: np.ndarray, max_mag: float = None) -> np.ndarray:
+    """Standard HSV flow visualization: hue = direction, value = magnitude.
+
+    flow: (H, W, 2) -> (H, W, 3) uint8 RGB. Host-side debug helper.
+    """
+    fx, fy = flow[..., 0], flow[..., 1]
+    mag = np.sqrt(fx * fx + fy * fy)
+    ang = np.arctan2(fy, fx)
+    if max_mag is None:
+        max_mag = max(float(np.percentile(mag, 99)), 1e-6)
+    h = (ang + np.pi) / (2 * np.pi)            # [0, 1)
+    v = np.clip(mag / max_mag, 0, 1)
+    i = (h * 6).astype(int) % 6
+    f = h * 6 - np.floor(h * 6)
+    p = np.zeros_like(v)
+    q = v * (1 - f)
+    t = v * f
+    ii = i[..., None]
+    rgb = np.select(
+        [ii == 0, ii == 1, ii == 2, ii == 3, ii == 4, ii == 5],
+        [np.stack([v, t, p], -1), np.stack([q, v, p], -1),
+         np.stack([p, v, t], -1), np.stack([p, q, v], -1),
+         np.stack([t, p, v], -1), np.stack([v, p, q], -1)])
+    return (rgb * 255).astype(np.uint8)

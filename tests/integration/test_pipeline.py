@@ -140,3 +140,30 @@ def test_track_precomputed_flow_matches_online(clip96, cfg96):
     tr_pre = pl.track_precomputed_flow(flows, seeds, cfg96)
     tr_on = pl.track_clip(frames, cfg96, seeds=seeds)
     np.testing.assert_allclose(tr_pre.positions, tr_on.positions, atol=1e-4)
+
+
+def test_flow_to_rgb_visualization():
+    from kalman_hydra_tpu.io.overlay import flow_to_rgb
+    flow = np.zeros((16, 16, 2), np.float32)
+    flow[:8, :, 0] = 2.0     # rightward
+    flow[8:, 1] = 0.0
+    rgb = flow_to_rgb(flow)
+    assert rgb.shape == (16, 16, 3)
+    assert rgb.dtype == np.uint8
+    assert (rgb[:8] != rgb[8:]).any()   # moving half colored differently
+
+
+def test_implicit_flow_agrees_with_position_on_smooth_field(clip96):
+    """On a smooth flow field the EKF (implicit measurement) and the
+    linear-KF position model must agree closely; the EKF's flow-Jacobian
+    only matters near sharp flow gradients."""
+    frames, truth = clip96
+    seeds = truth.positions[0]
+    base = RunConfig(flow=FlowConfig(levels=3),
+                     tracks=TrackConfig(num_tracks=8, reinit=False))
+    tr_kf = pl.track_clip(frames, base, seeds=seeds)
+    tr_ekf = pl.track_clip(
+        frames, base.replace(ekf=EkfConfig(measurement="implicit_flow")),
+        seeds=seeds)
+    d = np.linalg.norm(tr_kf.positions - tr_ekf.positions, axis=-1)
+    assert d.mean() < 0.5
