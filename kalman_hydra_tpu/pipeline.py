@@ -266,7 +266,10 @@ def track_clip(frames: np.ndarray, cfg: RunConfig,
     frames_d = jnp.asarray(frames)
     seeds_d = None if seeds is None else jnp.asarray(seeds)
     outs = _track_clip_jit(frames_d, cfg, with_history, seeds_d)
-    outs = jax.device_get(outs)
+    # fetch only the trajectory-sized outputs (D2H is the expensive path;
+    # smoothing already ran on device)
+    keep = ("pos", "alive", "nis", "track_id", "smoothed")
+    outs = jax.device_get({k: v for k, v in outs.items() if k in keep})
     traj = Trajectories(
         positions=np.asarray(outs["pos"]),
         alive=np.asarray(outs["alive"]),
