@@ -72,9 +72,7 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
         # replaces the TPU-hostile gather warp with the select-sum warp
         # (<0.01 px EPE delta, PARITY.md) — set KH_FAST_WARP=0 for exact,
         # KH_BF16_POLY=0 for f32 planes, KH_BATCH=N for vmapped clips
-        flow=FlowConfig(method=flow_method,
-                        fast_warp=0 if flow_method != "farneback"
-                        else fast_warp,
+        flow=FlowConfig(method=flow_method, fast_warp=fast_warp,
                         bf16_poly=bf16 and flow_method == "farneback"),
         ekf=EkfConfig(state_dim=state_dim),
         tracks=TrackConfig(num_tracks=num_tracks,

@@ -168,7 +168,12 @@ def lk_dense(prev: jnp.ndarray, nxt: jnp.ndarray, cfg: FlowConfig):
             # - dI grad).  The absolute solve is contractive where the
             # incremental form has >1 loop gain through neighboring pixels
             # (same structure as Farneback's M . d_prior term).
-            warped = warp_image(ib, fl)
+            if cfg.fast_warp > 0:
+                from .farneback import _warp_poly_selectsum
+                warped = _warp_poly_selectsum(ib[..., None], fl,
+                                              cfg.fast_warp)[..., 0]
+            else:
+                warped = warp_image(ib, fl)
             diff = warped - ia
             ux, uy = fl[..., 0], fl[..., 1]
             h1 = wsum(gxx * ux + gxy * uy - diff * gx)

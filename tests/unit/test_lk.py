@@ -78,3 +78,14 @@ def test_lk_dense_subpixel_shift():
         jnp.asarray(a), jnp.asarray(b)))
     epe = np.linalg.norm(fl - flow_true, axis=-1)[8:-8, 8:-8]
     assert epe.mean() < 0.05
+
+
+def test_lk_dense_fast_warp_matches_exact(pair128):
+    a, b, _ = pair128
+    exact = np.asarray(jax.jit(lambda x, y: L.lk_dense(
+        x, y, FlowConfig(levels=3)))(jnp.asarray(a), jnp.asarray(b)))
+    fast = np.asarray(jax.jit(lambda x, y: L.lk_dense(
+        x, y, FlowConfig(levels=3, fast_warp=8)))(jnp.asarray(a),
+                                                  jnp.asarray(b)))
+    epe = np.linalg.norm(exact - fast, axis=-1)
+    assert epe[8:-8, 8:-8].mean() < 0.02
