@@ -225,18 +225,39 @@ def bench_config(n):
         fps = bench_fused_pipeline(1080, 1920, t=9, num_tracks=1024)
         return fps, bench_epe(256, 256), "fps_per_chip_cfg4_1080p", 1.45
     if n == 5:
+        from jax import lax
         from kalman_hydra_tpu.config import (FlowConfig, RunConfig,
                                              SmoothConfig, TrackConfig)
         from kalman_hydra_tpu import pipeline as pl
-        cfg = RunConfig(flow=FlowConfig(levels=3),
-                        tracks=TrackConfig(num_tracks=256),
-                        smooth=SmoothConfig(enabled=True))
+        cfg = RunConfig(
+            flow=FlowConfig(levels=3,
+                            fast_warp=int(os.environ.get("KH_FAST_WARP",
+                                                         "8")),
+                            bf16_poly=True),
+            tracks=TrackConfig(num_tracks=256),
+            smooth=SmoothConfig(enabled=True))
         frames, _ = make_clip(33, 480, 854)
-        t0 = time.time()
-        tr = pl.track_clip(frames, cfg, with_history=True)
-        sec = time.time() - t0
-        fps = (len(frames) - 1) / sec
-        log(f"cfg5 long-horizon+RTS: {fps:.2f} fps (incl compile)")
+        frames_d = jnp.asarray(frames)
+        t_frames = len(frames)
+
+        def repeat_run(f, R):
+            def body(_i, acc):
+                outs = pl.track_arrays(
+                    f + (acc * 0).astype(f.dtype)[None, None, None, None],
+                    cfg, with_history=False)
+                return acc + jnp.sum(outs["smoothed"][-1]) * 1e-6
+            return lax.fori_loop(0, R, body, jnp.float32(0.0))
+
+        times = {}
+        for R in (1, 3):
+            comp = jax.jit(repeat_run, static_argnums=1).lower(
+                frames_d, R).compile()
+            np.asarray(comp(frames_d))
+            times[R] = min(_fetch_time(comp, frames_d) for _ in range(2))
+        marginal = max((times[3] - times[1]) / 2.0, times[3] / 3.0 * 0.1)
+        fps = (t_frames - 1) / marginal
+        log(f"cfg5 long-horizon+RTS+reinit: {marginal*1e3:.1f} ms/clip "
+            f"=> {fps:.2f} fps")
         return fps, None, "fps_per_chip_cfg5_rts", None
     raise SystemExit(f"unknown config {n}")
 
