@@ -64,7 +64,7 @@ def correlate1d(x: jnp.ndarray, kernel, axis: int,
     k = len(kernel)
     r = k // 2
     xp = pad1d(x, r, r, axis, border)
-    if k <= 9:
+    if k <= 13:
         out = None
         n = x.shape[axis]
         for i in range(k):
