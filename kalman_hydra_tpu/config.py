@@ -99,6 +99,9 @@ class TrackConfig:
     reinit: bool = True         # occlusion-gated re-seeding (BASELINE.json:11)
     corner_pool: int = 512      # per-frame candidate corners kept for re-init
     seed_in_body: bool = False  # restrict seeding to the segmented body
+    init_velocity: bool = False  # init track velocity from the first flow
+                                 # field (removes the dead-reckoning
+                                 # convergence transient; off = oracle-parity)
 
 
 @dataclass(frozen=True)

@@ -157,6 +157,17 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
         state = init_tracks(cfg.ekf, seeds)
         carry0 = Carry(tracks=state, prev_gray=carry0.prev_gray,
                        prev_rpyr=carry0.prev_rpyr)
+    if cfg.tracks.init_velocity:
+        # prime velocities with the frame0->frame1 flow at the seeds: the
+        # filter starts converged instead of dead-reckoning from v=0
+        from .ops.warp import sample_flow
+        gray1 = grayscale_u8(frames[1])
+        flow01 = _flow_field(carry0.prev_gray, gray1, cfg)
+        v0 = sample_flow(flow01, carry0.tracks.x[:, 0:2]) / cfg.ekf.dt
+        x0 = carry0.tracks.x.at[:, 2:4].set(v0)
+        carry0 = Carry(tracks=carry0.tracks._replace(x=x0),
+                       prev_gray=carry0.prev_gray,
+                       prev_rpyr=carry0.prev_rpyr)
     step = make_step(cfg)
     carry, outs = lax.scan(step, carry0, frames[1:])
     # prepend the frame-0 row

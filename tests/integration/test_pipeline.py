@@ -167,3 +167,27 @@ def test_implicit_flow_agrees_with_position_on_smooth_field(clip96):
         seeds=seeds)
     d = np.linalg.norm(tr_kf.positions - tr_ekf.positions, axis=-1)
     assert d.mean() < 0.5
+
+
+def test_init_velocity_primes_filter(clip96):
+    """init_velocity seeds track velocity from the first flow field.
+
+    On this clip the dominant tracking error is flow dilution at the small
+    blob's rim (identical in the oracle), so the win is modest — assert
+    the priming happens and never hurts."""
+    frames, truth = clip96
+    seeds = truth.positions[0]
+    cold = pl.track_clip(frames, RunConfig(
+        flow=FlowConfig(levels=3),
+        tracks=TrackConfig(num_tracks=8, reinit=False)), seeds=seeds)
+    warm = pl.track_clip(frames, RunConfig(
+        flow=FlowConfig(levels=3),
+        tracks=TrackConfig(num_tracks=8, reinit=False,
+                           init_velocity=True)), seeds=seeds)
+    err_cold = np.linalg.norm(cold.positions[-1] - truth.positions[-1],
+                              axis=-1).mean()
+    err_warm = np.linalg.norm(warm.positions[-1] - truth.positions[-1],
+                              axis=-1).mean()
+    assert err_warm <= err_cold + 1e-3
+    # the first post-init step must differ (velocity actually primed)
+    assert not np.allclose(cold.positions[1], warm.positions[1])
