@@ -200,12 +200,11 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
     return outs
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "with_history"),
-                   donate_argnums=(0,))
+@functools.partial(jax.jit, static_argnames=("cfg", "with_history"))
 def _track_clip_jit(frames, cfg: RunConfig, with_history: bool,
                     seeds: Optional[jnp.ndarray] = None):
-    # frames are donated: the clip buffer (e.g. 50 MB at 1080p, xB clips
-    # under vmap) is released back to the allocator once grayscale runs
+    # (uint8 frames can't alias any float output, so donation would be a
+    # no-op with a warning — XLA frees the buffer after grayscale anyway)
     return track_arrays(frames, cfg, with_history, seeds)
 
 
