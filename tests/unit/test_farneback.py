@@ -115,3 +115,12 @@ def test_bf16_poly_within_contract(pair128):
         epe = np.linalg.norm(got - ref, axis=-1)
         assert epe.mean() < 0.05
         assert epe[8:-8, 8:-8].mean() < 0.01
+
+
+def test_fast_warp_with_gaussian_window(pair128):
+    a, b, _ = pair128
+    ref = ip.farneback(a, b, FlowConfig(gaussian_win=True))
+    got = _run(a, b, FlowConfig(gaussian_win=True, fast_warp=8,
+                                bf16_poly=True))
+    epe = np.linalg.norm(got - ref, axis=-1)
+    assert epe.mean() < 0.05
