@@ -105,6 +105,18 @@ def farneback_levels(h: int, w: int, levels: int,
     return plan
 
 
+def gaussian_blur_level(img: jnp.ndarray, cfg, k: int = 0) -> jnp.ndarray:
+    """The blur (no resize) that produces Farneback's level-k image; for
+    k=0 this is the fine-level input (sharded-Farneback helper)."""
+    h, w = img.shape[-2], img.shape[-1]
+    for (kk, _lh, _lw, sigma, ksize) in farneback_levels(
+            h, w, cfg.levels, cfg.pyr_scale):
+        if kk == k:
+            return gaussian_blur(img.astype(jnp.float32), ksize, sigma,
+                                 border="reflect101")
+    raise ValueError(f"level {k} not in plan")
+
+
 def farneback_images(img: jnp.ndarray, levels: int,
                      pyr_scale: float) -> List[jnp.ndarray]:
     """Level images for Farneback, coarsest first, each built from the

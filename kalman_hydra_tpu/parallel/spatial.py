@@ -227,3 +227,149 @@ def lk_dense_sharded(prev: np.ndarray, nxt: np.ndarray, cfg: FlowConfig,
     b = jax.device_put(jnp.asarray(nxt, jnp.float32),
                        NamedSharding(mesh, P(axis)))
     return np.asarray(jax.jit(fn)(a, b))
+
+
+# ------------------------------------------------- sharded Farneback (fine)
+
+def _damp_traced(row_ids, col_ids, hg: int, wg: int):
+    """OpenCV border taper with TRACED global indices (sharded bands)."""
+    from ..ops.farneback import _BORDER, _BORDER_SCALE
+
+    def axis_scale(ids, limit):
+        dist = jnp.minimum(ids, limit - 1 - ids)
+        s = jnp.ones_like(ids, dtype=jnp.float32)
+        for d in range(_BORDER):
+            s = jnp.where(dist == d, jnp.float32(_BORDER_SCALE[d]), s)
+        return s
+
+    return axis_scale(row_ids, hg) * axis_scale(col_ids, wg)
+
+
+def _update_matrices_band(R0s, R1s, flow_s, row0, hg: int, D: int):
+    """Planar update_matrices on a row slab with global border damping.
+
+    R0s/R1s: (5, hs, W) slabs; flow_s: (2, hs, W); row0: traced global row
+    of slab row 0. Warp displacement clamped to +-D (select-sum)."""
+    from ..ops.farneback import _warp_poly_selectsum_p
+
+    hs, wg = R0s.shape[1], R0s.shape[2]
+    R1w = _warp_poly_selectsum_p(R1s, flow_s.astype(R1s.dtype), D)
+    R0f = R0s.astype(jnp.float32)
+    R1w = R1w.astype(jnp.float32)
+    dx = flow_s[0]
+    dy = flow_s[1]
+    a_xx = (R0f[2] + R1w[2]) * 0.5
+    a_yy = (R0f[3] + R1w[3]) * 0.5
+    axy = (R0f[4] + R1w[4]) * 0.25
+    db_x = (R0f[0] - R1w[0]) * 0.5 + a_xx * dx + axy * dy
+    db_y = (R0f[1] - R1w[1]) * 0.5 + axy * dx + a_yy * dy
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (hs, wg), 0) + row0
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (hs, wg), 1)
+    damp = _damp_traced(jnp.clip(row_ids, 0, hg - 1), col_ids, hg, wg)
+    a_xx = a_xx * damp
+    a_yy = a_yy * damp
+    axy = axy * damp
+    db_x = db_x * damp
+    db_y = db_y * damp
+    return jnp.stack([a_xx * a_xx + axy * axy,
+                      (a_xx + a_yy) * axy,
+                      a_yy * a_yy + axy * axy,
+                      a_xx * db_x + axy * db_y,
+                      axy * db_x + a_yy * db_y], axis=0)
+
+
+def farneback_sharded(prev: np.ndarray, nxt: np.ndarray, cfg: FlowConfig,
+                      mesh: Optional[Mesh] = None,
+                      axis: str = "space") -> np.ndarray:
+    """Farneback with the FINEST level row-sharded across the mesh.
+
+    Strategy (see module docstring design note): cv2's cvRound pyramid
+    sizes don't divide evenly past level 0, and coarse levels are <25% of
+    the pixels — so every device computes the coarse flow replicated
+    (identical work on its full-frame copy), and the expensive level-0
+    iterations run on row bands. Polyexp slabs are computed locally from
+    the replicated frame (halo recompute, zero collectives); the flow
+    halo between iterations moves via `lax.ppermute`; the result is
+    returned globally assembled by the sharded out_spec.
+
+    Requires H % n_devices == 0 and fast_warp > 0 (the warp's displacement
+    clamp bounds the halo). Matches the single-device op to float noise
+    away from the warp clamp.
+    """
+    if cfg.fast_warp <= 0:
+        raise ValueError("farneback_sharded requires fast_warp > 0 "
+                         "(bounded-halo warp)")
+    if mesh is None:
+        mesh = Mesh(np.array(jax.devices()), (axis,))
+    n = mesh.size
+    hg, wg = prev.shape[-2], prev.shape[-1]
+    if hg % n != 0:
+        raise ValueError(f"H={hg} must divide by {n} devices")
+    hb = hg // n
+    D = cfg.fast_warp
+    MPAD = cfg.winsize // 2                 # box-filter halo
+    RPAD = MPAD + D + 1                     # + warp reach + bilinear
+    EPAD = RPAD + cfg.poly_n                # + polyexp window (recompute)
+    if hb < RPAD:
+        raise ValueError(f"band rows {hb} < halo {RPAD}; fewer devices")
+
+    from ..ops.farneback import (farneback_from_pyramids, poly_expansion_p,
+                                 polyexp_pyramid, update_flow_p)
+    from ..ops.pyramid import farneback_levels, gaussian_blur_level
+
+    def block_fn(a_full, b_full):
+        d = lax.axis_index(axis)
+        row0 = d * hb                        # global row of band start
+
+        # ---- replicated coarse pass (levels >= 1) ----
+        Rs_a = polyexp_pyramid(a_full, cfg)
+        Rs_b = polyexp_pyramid(b_full, cfg)
+        if len(Rs_a) > 1:
+            coarse = farneback_from_pyramids(Rs_a[:-1], Rs_b[:-1], cfg)
+            flow_full = resize_linear(jnp.moveaxis(coarse, -1, 0), hg, wg) \
+                * (1.0 / cfg.pyr_scale)
+        else:
+            flow_full = jnp.zeros((2, hg, wg), jnp.float32)
+
+        # ---- fine level: local polyexp slab from the replicated frame ----
+        # level-0 image = small blur of the original (plan k=0)
+        img_a0 = gaussian_blur_level(a_full, cfg)
+        img_b0 = gaussian_blur_level(b_full, cfg)
+        # pad globally so every slab slice is in-bounds with replicate
+        # semantics at the true image borders
+        pa = jnp.pad(img_a0, ((EPAD, EPAD), (0, 0)), mode="edge")
+        pb = jnp.pad(img_b0, ((EPAD, EPAD), (0, 0)), mode="edge")
+        sl_a = lax.dynamic_slice(
+            pa, (row0, 0), (hb + 2 * EPAD, wg))     # rows row0-EPAD..+EPAD
+        sl_b = lax.dynamic_slice(pb, (row0, 0), (hb + 2 * EPAD, wg))
+        n_poly = cfg.poly_n
+        R0s = poly_expansion_p(sl_a, n_poly, cfg.poly_sigma)[
+            :, n_poly:-n_poly, :]                   # valid rows band+-RPAD
+        R1s = poly_expansion_p(sl_b, n_poly, cfg.poly_sigma)[
+            :, n_poly:-n_poly, :]
+        if cfg.bf16_poly:
+            R0s = R0s.astype(jnp.bfloat16)
+            R1s = R1s.astype(jnp.bfloat16)
+
+        # initial fine flow slab (replicated source -> slice band +- RPAD)
+        fp = jnp.pad(flow_full, ((0, 0), (RPAD, RPAD), (0, 0)), mode="edge")
+        flow_s = lax.dynamic_slice(fp, (0, row0, 0),
+                                   (2, hb + 2 * RPAD, wg))
+
+        for _ in range(cfg.iterations):
+            Mslab = _update_matrices_band(R0s, R1s, flow_s,
+                                          row0 - RPAD, hg, D)
+            new_slab = update_flow_p(Mslab, cfg.winsize, cfg.gaussian_win)
+            band = new_slab[:, RPAD:RPAD + hb, :]
+            # refresh the halo from neighbors for the next iteration
+            ext = halo_exchange(jnp.moveaxis(band, 0, 1), RPAD, axis,
+                                pad_mode="edge")      # (hb+2R, 2, W)
+            flow_s = jnp.moveaxis(ext, 1, 0)
+        return jnp.moveaxis(flow_s[:, RPAD:RPAD + hb, :], 0, -1)
+
+    fn = jax.shard_map(block_fn, mesh=mesh, in_specs=(P(), P()),
+                       out_specs=P(axis))
+    a = jnp.asarray(prev, jnp.float32)
+    b = jnp.asarray(nxt, jnp.float32)
+    return np.asarray(jax.jit(fn)(a, b))

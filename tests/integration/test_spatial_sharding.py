@@ -59,3 +59,27 @@ def test_halo_too_wide_raises(pair128):
     mesh = Mesh(np.array(jax.devices()), ("space",))
     with pytest.raises(ValueError):
         lk_dense_sharded(a, b, cfg, mesh=mesh)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_farneback_matches_single_device(pair128, n_dev):
+    from kalman_hydra_tpu.ops.farneback import farneback
+    from kalman_hydra_tpu.parallel.spatial import farneback_sharded
+    import jax.numpy as jnp
+    a, b, _ = pair128
+    cfg = FlowConfig(levels=3, fast_warp=8)
+    ref = np.asarray(jax.jit(lambda x, y: farneback(x, y, cfg))(
+        jnp.asarray(a), jnp.asarray(b)))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("space",))
+    got = farneback_sharded(a, b, cfg, mesh=mesh)
+    d = np.abs(got - ref)
+    assert d[8:-8, 8:-8].max() < 5e-3
+    assert d.max() < 0.1
+
+
+def test_sharded_farneback_requires_fast_warp(pair128):
+    from kalman_hydra_tpu.parallel.spatial import farneback_sharded
+    a, b, _ = pair128
+    with pytest.raises(ValueError):
+        farneback_sharded(a, b, FlowConfig(levels=3), mesh=Mesh(
+            np.array(jax.devices()), ("space",)))
