@@ -64,7 +64,10 @@ def correlate1d(x: jnp.ndarray, kernel, axis: int,
     k = len(kernel)
     r = k // 2
     xp = pad1d(x, r, r, axis, border)
-    if k <= 13:
+    # unrolled shifted adds beat conv_general_dilated on v5e for every
+    # kernel size used here (measured end-to-end; the conv path remains
+    # for pathological sizes to bound HLO growth)
+    if k <= 99:
         out = None
         n = x.shape[axis]
         for i in range(k):
