@@ -97,6 +97,8 @@ class TrackConfig:
     min_distance: float = 8.0   # NMS radius for seeding
     corner_block: int = 3       # structure-tensor window for Shi-Tomasi
     reinit: bool = True         # occlusion-gated re-seeding (BASELINE.json:11)
+    reinit_every: int = 1       # corner-pool refresh interval (frames);
+                                # >1 reuses the pool between refreshes
     corner_pool: int = 512      # per-frame candidate corners kept for re-init
     seed_in_body: bool = False  # restrict seeding to the segmented body
     init_velocity: bool = False  # init track velocity from the first flow

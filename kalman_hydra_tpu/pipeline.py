@@ -39,6 +39,8 @@ class Carry(NamedTuple):
     tracks: TrackState
     prev_gray: jnp.ndarray  # (H, W) float32
     prev_rpyr: Tuple = ()   # cached Farneback polyexp pyramid (per level)
+    corner_cache: Tuple = ()  # (pts, score) pool reused between refreshes
+    frame_idx: jnp.ndarray = None  # int32 step counter (reinit_every)
 
 
 def _flow_field(prev_gray, gray, cfg: RunConfig):
@@ -95,12 +97,27 @@ def make_step(cfg: RunConfig):
         state = lifecycle.gate(state, aux["x_pred"], aux["P_pred"],
                                aux["nis"], cfg.ekf)
         state = lifecycle.kill_lost(state, cfg.ekf, h, w)
+        corner_cache = carry.corner_cache
+        frame_idx = (carry.frame_idx + 1
+                     if carry.frame_idx is not None else None)
         if cfg.tracks.reinit:
-            mask = None
-            if cfg.tracks.seed_in_body:
-                from .ops.segment import segment_body
-                mask = segment_body(gray)
-            cpts, cscore = corner_pool(gray, cfg.tracks, mask=mask)
+            def fresh_pool(g):
+                mask = None
+                if cfg.tracks.seed_in_body:
+                    from .ops.segment import segment_body
+                    mask = segment_body(g)
+                return corner_pool(g, cfg.tracks, mask=mask)
+
+            if cfg.tracks.reinit_every <= 1 or not corner_cache:
+                cpts, cscore = fresh_pool(gray)
+            else:
+                refresh = (frame_idx % cfg.tracks.reinit_every) == 0
+                cpts, cscore = lax.cond(
+                    refresh, lambda g: fresh_pool(g),
+                    lambda g: corner_cache, gray)
+                # keep the carry pytree structure stable: only the caching
+                # mode stores the pool in the carry
+                corner_cache = (cpts, cscore)
             state = lifecycle.reseed(state, cpts, cscore, cfg.ekf, cfg.tracks)
 
         out = {
@@ -115,8 +132,8 @@ def make_step(cfg: RunConfig):
         }
         new_rpyr = (rpyr if (cfg.flow.method == "farneback"
                              and cfg.impl == "xla") else carry.prev_rpyr)
-        return Carry(tracks=state, prev_gray=gray,
-                     prev_rpyr=new_rpyr), out
+        return Carry(tracks=state, prev_gray=gray, prev_rpyr=new_rpyr,
+                     corner_cache=corner_cache, frame_idx=frame_idx), out
 
     return step
 
@@ -141,7 +158,12 @@ def init_from_frame(frame0, cfg: RunConfig) -> Carry:
     if cfg.flow.method == "farneback" and cfg.impl == "xla":
         from .ops.farneback import polyexp_pyramid
         rpyr = polyexp_pyramid(gray0, cfg.flow)
-    return Carry(tracks=state, prev_gray=gray0, prev_rpyr=rpyr)
+    corner_cache = ()
+    if cfg.tracks.reinit and cfg.tracks.reinit_every > 1:
+        corner_cache = corner_pool(gray0, cfg.tracks)
+    return Carry(tracks=state, prev_gray=gray0, prev_rpyr=rpyr,
+                 corner_cache=corner_cache,
+                 frame_idx=jnp.int32(0))
 
 
 def track_arrays(frames, cfg: RunConfig, with_history: bool = False,

@@ -191,3 +191,19 @@ def test_init_velocity_primes_filter(clip96):
     assert err_warm <= err_cold + 1e-3
     # the first post-init step must differ (velocity actually primed)
     assert not np.allclose(cold.positions[1], warm.positions[1])
+
+
+def test_reinit_every_matches_behavior(clip96):
+    """Pool caching (reinit_every) must keep re-seeding functional."""
+    frames, _ = clip96
+    cfg_every = RunConfig(flow=FlowConfig(levels=3),
+                          tracks=TrackConfig(num_tracks=16, corner_pool=64,
+                                             reinit_every=3))
+    tr = pl.track_clip(frames, cfg_every)
+    assert np.isfinite(tr.positions).all()
+    assert tr.alive[-1].mean() > 0.5
+    # frame-1 behavior identical to per-frame refresh (pool refreshed at 0)
+    cfg_one = RunConfig(flow=FlowConfig(levels=3),
+                        tracks=TrackConfig(num_tracks=16, corner_pool=64))
+    tr1 = pl.track_clip(frames, cfg_one)
+    assert tr.positions.shape == tr1.positions.shape
