@@ -373,11 +373,14 @@ def update_matrices_p(R0p: jnp.ndarray, R1p: jnp.ndarray,
     db_x = db_x * damp
     db_y = db_y * damp
 
-    return jnp.stack([a_xx * a_xx + axy * axy,
-                      (a_xx + a_yy) * axy,
-                      a_yy * a_yy + axy * axy,
-                      a_xx * db_x + axy * db_y,
-                      axy * db_x + a_yy * db_y], axis=0)
+    M = jnp.stack([a_xx * a_xx + axy * axy,
+                   (a_xx + a_yy) * axy,
+                   a_yy * a_yy + axy * axy,
+                   a_xx * db_x + axy * db_y,
+                   axy * db_x + a_yy * db_y], axis=0)
+    # store M in the plane dtype: in bf16 mode the winsize smoothing reads
+    # half the bytes (EPE impact ~1e-3 px, tested)
+    return M.astype(R1p.dtype)
 
 
 def update_flow_p(Mp: jnp.ndarray, winsize: int, gaussian: bool
@@ -391,6 +394,7 @@ def update_flow_p(Mp: jnp.ndarray, winsize: int, gaussian: bool
     else:
         Ms = box_filter(box_filter(Mp, winsize, axis=-2, border="replicate"),
                         winsize, axis=-1, border="replicate")
+    Ms = Ms.astype(jnp.float32)
     g11, g12, g22, h1, h2 = Ms[0], Ms[1], Ms[2], Ms[3], Ms[4]
     idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
     return jnp.stack([(g22 * h1 - g12 * h2) * idet,

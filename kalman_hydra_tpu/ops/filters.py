@@ -124,11 +124,13 @@ def box_filter(x: jnp.ndarray, size: int, axis: int,
     xp = pad1d(x, r, r, axis, border)
     n = x.shape[axis]
     if size <= 15:
+        # accumulate in f32 even for bf16 inputs: reads stay half-width,
+        # the running sum keeps full precision
         summed = None
         for k in range(size):
             sl = [slice(None)] * x.ndim
             sl[axis] = slice(k, k + n)
-            t = xp[tuple(sl)]
+            t = xp[tuple(sl)].astype(jnp.float32)
             summed = t if summed is None else summed + t
     else:
         cs = jnp.cumsum(xp, axis=axis, dtype=jnp.float32)
