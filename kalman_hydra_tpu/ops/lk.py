@@ -104,17 +104,27 @@ def _track_point_level(img_a, img_b, gx, gy, pt, guess, cfg: FlowConfig):
     return guess, ok, min_eig
 
 
+def lk_pyramid(img: jnp.ndarray, cfg: FlowConfig):
+    """Pyramid + Scharr gradients for one frame — cacheable per frame
+    (the pipeline carries the previous frame's tuple in its scan carry so
+    each frame's pyramid is built once, not twice)."""
+    pyr = build_pyramid(img.astype(jnp.float32), cfg.levels)
+    grads = [scharr_gradients(a) for a in pyr]
+    return tuple(pyr), tuple(grads)
+
+
 def lk_sparse(prev: jnp.ndarray, nxt: jnp.ndarray, pts: jnp.ndarray,
-              cfg: FlowConfig):
+              cfg: FlowConfig, prev_pyr=None, next_pyr=None):
     """Track (K, 2) float32 points from prev to nxt.
 
     Returns (new_pts (K, 2), status (K,) bool). Equivalent call:
     cv2.calcOpticalFlowPyrLK(prev, nxt, pts, winSize=(lk_winsize,)*2,
-    maxLevel=levels-1, criteria=(lk_max_iter, lk_eps)).
+    maxLevel=levels-1, criteria=(lk_max_iter, lk_eps)). Precomputed
+    `lk_pyramid` tuples can be passed to skip pyramid construction.
     """
-    pyr_a = build_pyramid(prev.astype(jnp.float32), cfg.levels)
-    pyr_b = build_pyramid(nxt.astype(jnp.float32), cfg.levels)
-    grads = [scharr_gradients(a) for a in pyr_a]
+    pyr_a, grads = prev_pyr if prev_pyr is not None else lk_pyramid(prev, cfg)
+    pyr_b = (next_pyr[0] if next_pyr is not None
+             else build_pyramid(nxt.astype(jnp.float32), cfg.levels))
     half = (cfg.lk_winsize - 1) // 2
     pad = half + 2   # replicate pad == border-clamped sampling semantics
 

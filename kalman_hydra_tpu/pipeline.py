@@ -66,9 +66,13 @@ def make_step(cfg: RunConfig):
             if cfg.impl == "pallas":
                 from .kernels.lk_pallas import lk_sparse as _lk_pl
                 new_pts, ok = _lk_pl(carry.prev_gray, gray, pos, cfg.flow)
+                lk_cache = carry.prev_rpyr
             else:
-                new_pts, ok = lk_ops.lk_sparse(carry.prev_gray, gray, pos,
-                                               cfg.flow)
+                lk_cache = lk_ops.lk_pyramid(gray, cfg.flow)
+                prev_cache = carry.prev_rpyr or None
+                new_pts, ok = lk_ops.lk_sparse(
+                    carry.prev_gray, gray, pos, cfg.flow,
+                    prev_pyr=prev_cache, next_pyr=lk_cache)
             state = carry.tracks
             x_pred, P_pred = _predict_only(state, F, Q)
             z = pos + (new_pts - pos)  # = new_pts; kept explicit for clarity
@@ -130,8 +134,12 @@ def make_step(cfg: RunConfig):
             "x_pred": aux["x_pred"],
             "P_pred": aux["P_pred"],
         }
-        new_rpyr = (rpyr if (cfg.flow.method == "farneback"
-                             and cfg.impl == "xla") else carry.prev_rpyr)
+        if cfg.flow.method == "farneback" and cfg.impl == "xla":
+            new_rpyr = rpyr
+        elif cfg.flow.method == "lk_sparse" and cfg.impl != "pallas":
+            new_rpyr = lk_cache
+        else:
+            new_rpyr = carry.prev_rpyr
         return Carry(tracks=state, prev_gray=gray, prev_rpyr=new_rpyr,
                      corner_cache=corner_cache, frame_idx=frame_idx), out
 
@@ -158,6 +166,8 @@ def init_from_frame(frame0, cfg: RunConfig) -> Carry:
     if cfg.flow.method == "farneback" and cfg.impl == "xla":
         from .ops.farneback import polyexp_pyramid
         rpyr = polyexp_pyramid(gray0, cfg.flow)
+    elif cfg.flow.method == "lk_sparse" and cfg.impl != "pallas":
+        rpyr = lk_ops.lk_pyramid(gray0, cfg.flow)
     corner_cache = ()
     if cfg.tracks.reinit and cfg.tracks.reinit_every > 1:
         corner_cache = corner_pool(gray0, cfg.tracks)

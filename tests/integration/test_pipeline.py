@@ -207,3 +207,16 @@ def test_reinit_every_matches_behavior(clip96):
                         tracks=TrackConfig(num_tracks=16, corner_pool=64))
     tr1 = pl.track_clip(frames, cfg_one)
     assert tr.positions.shape == tr1.positions.shape
+
+
+def test_lk_sparse_pipeline_mode(clip96):
+    """Sparse pyrLK pipeline mode (with the cached prev pyramid in the
+    scan carry) must track comparably to the dense-flow mode."""
+    frames, truth = clip96
+    seeds = truth.positions[0]
+    cfg = RunConfig(flow=FlowConfig(method="lk_sparse", levels=3),
+                    tracks=TrackConfig(num_tracks=8, reinit=False))
+    tr = pl.track_clip(frames, cfg, seeds=seeds)
+    assert np.isfinite(tr.positions).all()
+    err = np.linalg.norm(tr.positions[-1] - truth.positions[-1], axis=-1)
+    assert err.mean() < 3.5
