@@ -50,3 +50,33 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path):
     np.testing.assert_allclose(resumed.positions,
                                full.positions[-len(resumed.positions):],
                                atol=1e-4)
+
+
+def test_runconfig_json_roundtrip():
+    from kalman_hydra_tpu.config import (EkfConfig, FlowConfig, RunConfig,
+                                         SmoothConfig, TrackConfig)
+    cfg = RunConfig(flow=FlowConfig(method="lk_dense", levels=4,
+                                    fast_warp=8, bf16_poly=True),
+                    ekf=EkfConfig(state_dim=6, measurement="implicit_flow"),
+                    tracks=TrackConfig(num_tracks=64, seed_in_body=True,
+                                       reinit_every=3),
+                    smooth=SmoothConfig(enabled=True, chunk=32))
+    cfg2 = RunConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+
+
+def test_cli_track_stream_checkpoint(tmp_path):
+    clip = str(tmp_path / "clip.npz")
+    out = str(tmp_path / "tracks.npz")
+    ck = str(tmp_path / "state.npz")
+    assert cli_main(["synth", "--out", clip, "--frames", "5",
+                     "--height", "64", "--width", "64"]) == 0
+    assert cli_main(["track", clip, "--out", out, "--tracks", "8",
+                     "--stream", "--checkpoint", ck,
+                     "--checkpoint-every", "2"]) == 0
+    import os
+    assert os.path.exists(ck)
+    # resume from the checkpoint
+    out2 = str(tmp_path / "tracks2.npz")
+    assert cli_main(["track", clip, "--out", out2, "--tracks", "8",
+                     "--stream", "--checkpoint", ck, "--resume"]) == 0
