@@ -383,6 +383,14 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
     if pending is not None:
         rows.append(jax.device_get(
             {k: pending[k] for k in ("pos", "alive", "nis", "track_id")}))
+    if not rows:
+        # resumed at (or past) the end of the stream: report the restored
+        # state as a single row rather than failing
+        rows.append({
+            "pos": np.asarray(carry.tracks.x[:, 0:2]),
+            "alive": np.asarray(carry.tracks.alive),
+            "nis": np.zeros(cfg.tracks.num_tracks, np.float32),
+            "track_id": np.asarray(carry.tracks.track_id)})
     return Trajectories(
         positions=np.stack([np.asarray(r["pos"]) for r in rows]),
         alive=np.stack([np.asarray(r["alive"]) for r in rows]),
