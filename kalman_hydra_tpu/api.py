@@ -83,5 +83,20 @@ def smooth(frames_or_tracks, cfg: Optional[RunConfig] = None) -> Trajectories:
     return track_video(frames_or_tracks, cfg)
 
 
+def track_videos(clips: np.ndarray, cfg: Optional[RunConfig] = None,
+                 sharded: bool = False):
+    """Track a (B, T, H, W[, 3]) uint8 clip batch (BASELINE.json:10).
+
+    `sharded=True` distributes clips over the device mesh
+    (data-parallel, BASELINE.json:11); otherwise a single-device vmap.
+    Returns a list of Trajectories.
+    """
+    cfg = cfg or RunConfig()
+    from .parallel import track_clips_batch, track_clips_sharded
+    if sharded:
+        return track_clips_sharded(clips, cfg)
+    return track_clips_batch(clips, cfg)
+
+
 def export(tracks: Trajectories, path: str) -> None:
     save_tracks(tracks, path)

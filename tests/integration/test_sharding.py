@@ -66,3 +66,11 @@ def test_indivisible_batch_raises(clip_batch, cfg):
     mesh = make_mesh(8)
     with pytest.raises(ValueError):
         track_clips_sharded(clips[:3], cfg, mesh=mesh, seeds=seeds[:3])
+
+
+def test_api_track_videos_batch(clip_batch, cfg):
+    from kalman_hydra_tpu import api
+    clips, seeds = clip_batch
+    trajs = api.track_videos(clips[:2], cfg)
+    assert len(trajs) == 2
+    assert all(np.isfinite(t.positions).all() for t in trajs)
