@@ -124,3 +124,20 @@ def test_fast_warp_with_gaussian_window(pair128):
                                 bf16_poly=True))
     epe = np.linalg.norm(got - ref, axis=-1)
     assert epe.mean() < 0.05
+
+
+@pytest.mark.parametrize("kw", [
+    dict(winsize=21),
+    dict(levels=2),
+    dict(pyr_scale=0.8, levels=3),
+    dict(winsize=9, iterations=5),
+])
+def test_farneback_parameter_corners(pair128, kw):
+    """Parity must hold across the parameter surface, not just defaults."""
+    a, b, _ = pair128
+    cfg = FlowConfig(**kw)
+    got = _run(a, b, cfg)
+    ref = ip.farneback(a, b, cfg)
+    epe = np.linalg.norm(got - ref, axis=-1)
+    assert epe[8:-8, 8:-8].mean() < 0.02
+    assert epe.mean() < 0.08

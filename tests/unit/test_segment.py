@@ -47,3 +47,13 @@ def test_mask_scores_zeroes_outside():
     mask = jnp.zeros((8, 8)).at[2:4, 2:4].set(1.0)
     out = np.asarray(seg.mask_scores(score, mask))
     assert out.sum() == 4.0
+
+
+def test_segment_inverted_polarity(rng):
+    """Dark body on bright background (invert=True)."""
+    img = rng.normal(190, 10, (96, 96)).astype(np.float32)
+    img[30:70, 25:65] = rng.normal(70, 10, (40, 40))
+    img = np.clip(img, 0, 255)
+    mask = np.asarray(seg.segment_body(jnp.asarray(img), invert=True))
+    assert mask[40:60, 35:55].mean() > 0.9
+    assert mask.mean() < 0.5
