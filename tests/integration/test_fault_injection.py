@@ -89,3 +89,28 @@ def test_overlay_renderer(corrupted_clip, tmp_path):
     assert ann.shape == frames.shape
     assert (ann != frames).any()          # something was drawn
     write_overlay(str(tmp_path / "overlay.npz"), frames, tr)
+
+
+def test_duplicated_frame_is_benign(corrupted_clip):
+    """A dropped/duplicated frame (zero flow) must not destabilize the
+    filter: tracks coast on the prediction and recover."""
+    frames, _, truth = corrupted_clip
+    dup = frames.copy()
+    dup[5] = dup[4]                     # frame drop -> duplicate
+    cfg = RunConfig(flow=FlowConfig(levels=3),
+                    tracks=TrackConfig(num_tracks=8, reinit=False))
+    tr = pl.track_clip(dup, cfg, seeds=truth.positions[0])
+    assert np.isfinite(tr.positions).all()
+    clean = pl.track_clip(frames, cfg, seeds=truth.positions[0])
+    err = np.linalg.norm(tr.positions[-1] - clean.positions[-1], axis=-1)
+    assert np.median(err) < 3.0
+
+
+def test_all_black_frames_do_not_crash():
+    """Degenerate input (no texture at all): everything gated/killed but
+    no NaNs and no crash (checkify-style robustness, SURVEY.md §5)."""
+    frames = np.zeros((5, 64, 64, 3), np.uint8)
+    cfg = RunConfig(flow=FlowConfig(levels=2),
+                    tracks=TrackConfig(num_tracks=8, corner_pool=16))
+    tr = pl.track_clip(frames, cfg)
+    assert np.isfinite(tr.positions).all()
