@@ -83,6 +83,23 @@ def smooth(frames_or_tracks, cfg: Optional[RunConfig] = None) -> Trajectories:
     return track_video(frames_or_tracks, cfg)
 
 
+def flow_sharded(a: np.ndarray, b: np.ndarray,
+                 cfg: Optional[FlowConfig] = None,
+                 method: str = "farneback") -> np.ndarray:
+    """Dense flow with frame rows sharded across the device mesh
+    (SURVEY.md §2.2 spatial sharding; halo exchange over ICI).
+
+    method="farneback" requires cfg.fast_warp > 0 (bounded-halo warp).
+    """
+    cfg = cfg or FlowConfig(fast_warp=8)
+    from .parallel.spatial import farneback_sharded, lk_dense_sharded
+    if method == "farneback":
+        return farneback_sharded(a, b, cfg)
+    if method == "lk_dense":
+        return lk_dense_sharded(a, b, cfg)
+    raise ValueError(f"unknown sharded method {method!r}")
+
+
 def track_videos(clips: np.ndarray, cfg: Optional[RunConfig] = None,
                  sharded: bool = False):
     """Track a (B, T, H, W[, 3]) uint8 clip batch (BASELINE.json:10).

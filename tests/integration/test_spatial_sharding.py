@@ -83,3 +83,11 @@ def test_sharded_farneback_requires_fast_warp(pair128):
     with pytest.raises(ValueError):
         farneback_sharded(a, b, FlowConfig(levels=3), mesh=Mesh(
             np.array(jax.devices()), ("space",)))
+
+
+def test_api_flow_sharded(pair128):
+    from kalman_hydra_tpu import api
+    a, b, flow_true = pair128
+    got = api.flow_sharded(a, b, FlowConfig(levels=3, fast_warp=8))
+    epe = np.linalg.norm(got - flow_true, axis=-1)[12:-12, 12:-12]
+    assert epe.mean() < 0.05
