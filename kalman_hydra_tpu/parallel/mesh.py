@@ -112,5 +112,7 @@ def _to_trajectories(outs) -> list:
     return [Trajectories(positions=np.asarray(outs["pos"][b]),
                          alive=np.asarray(outs["alive"][b]),
                          nis=np.asarray(outs["nis"][b]),
-                         track_id=np.asarray(outs["track_id"][b]))
+                         track_id=np.asarray(outs["track_id"][b]),
+                         smoothed=(np.asarray(outs["smoothed"][b])
+                                   if "smoothed" in outs else None))
             for b in range(B)]

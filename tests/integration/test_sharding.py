@@ -74,3 +74,16 @@ def test_api_track_videos_batch(clip_batch, cfg):
     trajs = api.track_videos(clips[:2], cfg)
     assert len(trajs) == 2
     assert all(np.isfinite(t.positions).all() for t in trajs)
+
+
+def test_sharded_with_smoothing(clip_batch):
+    """DP sharding composed with on-device RTS smoothing."""
+    from kalman_hydra_tpu.config import SmoothConfig
+    clips, seeds = clip_batch
+    cfg = RunConfig(flow=FlowConfig(levels=2),
+                    tracks=TrackConfig(num_tracks=4, reinit=False),
+                    smooth=SmoothConfig(enabled=True))
+    mesh = make_mesh(4)
+    trajs = track_clips_sharded(clips[:4], cfg, mesh=mesh, seeds=seeds[:4])
+    assert all(t.smoothed is not None and np.isfinite(t.smoothed).all()
+               for t in trajs)
