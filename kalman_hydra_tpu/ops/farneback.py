@@ -316,34 +316,35 @@ def _warp_poly_selectsum_p(R1p: jnp.ndarray, flow_p: jnp.ndarray,
 
     Rp = jnp.pad(R1p, ((0, 0), (D + 1, D + 1), (0, 0)), mode="edge")
 
-    def vbody(i, acc):
-        vt, vb = acc
-        d = i - D
-        sh = lax.dynamic_slice(Rp, (0, i + 1, 0), (c, h + 1, w))
-        m = (y_idx == d)[None]
-        zero = jnp.zeros((), Rp.dtype)
-        vt = vt + jnp.where(m, sh[:, :h], zero)
-        vb = vb + jnp.where(m, sh[:, 1:], zero)
-        return vt, vb
-
-    vt, vb = lax.fori_loop(0, 2 * D + 1, vbody,
-                           (jnp.zeros_like(R1p), jnp.zeros_like(R1p)))
-    v = vt * (1 - ay) + vb * ay
+    # unrolled one-hot sums: the full (2D+1)-term select chain fuses into
+    # one XLA kernel instead of round-tripping the accumulator through HBM
+    # every fori_loop iteration. Loads stay in the storage dtype (bf16
+    # mode reads half the bytes); selection/lerp run in f32 — on TPU the
+    # fused bf16 chain rounds differently enough to cost ~0.03 px EPE.
+    zero = jnp.zeros((), jnp.float32)
+    ayf = ay.astype(jnp.float32)
+    axf = ax.astype(jnp.float32)
+    vt = None
+    vb = None
+    for i in range(2 * D + 1):
+        m = (y_idx == (i - D))[None]
+        t0 = jnp.where(m, Rp[:, i + 1:i + 1 + h, :].astype(jnp.float32),
+                       zero)
+        t1 = jnp.where(m, Rp[:, i + 2:i + 2 + h, :].astype(jnp.float32),
+                       zero)
+        vt = t0 if vt is None else vt + t0
+        vb = t1 if vb is None else vb + t1
+    v = vt * (1 - ayf) + vb * ayf
     vp = jnp.pad(v, ((0, 0), (0, 0), (D + 1, D + 1)), mode="edge")
-
-    def hbody(i, acc):
-        ut, ub = acc
-        e = i - D
-        sh = lax.dynamic_slice(vp, (0, 0, i + 1), (c, h, w + 1))
-        m = (x_idx == e)[None]
-        zero = jnp.zeros((), vp.dtype)
-        ut = ut + jnp.where(m, sh[:, :, :w], zero)
-        ub = ub + jnp.where(m, sh[:, :, 1:], zero)
-        return ut, ub
-
-    ut, ub = lax.fori_loop(0, 2 * D + 1, hbody,
-                           (jnp.zeros_like(R1p), jnp.zeros_like(R1p)))
-    return ut * (1 - ax) + ub * ax
+    ut = None
+    ub = None
+    for i in range(2 * D + 1):
+        m = (x_idx == (i - D))[None]
+        t0 = jnp.where(m, vp[:, :, i + 1:i + 1 + w], zero)
+        t1 = jnp.where(m, vp[:, :, i + 2:i + 2 + w], zero)
+        ut = t0 if ut is None else ut + t0
+        ub = t1 if ub is None else ub + t1
+    return ut * (1 - axf) + ub * axf
 
 
 def update_matrices_p(R0p: jnp.ndarray, R1p: jnp.ndarray,
