@@ -24,8 +24,14 @@ import time
 import numpy as np
 
 # persistent XLA compilation cache: compiles on this 1-vCPU host are slow
-# and the TPU relay makes retries expensive — cache across processes
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# and the TPU relay makes retries expensive — cache across processes.
+# NOTE: the env var is ignored in this container (the axon sitecustomize
+# initializes config first); the config API works.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/repo/.jax_cache"))
 
 CPU_BASELINE_1080P_FPS = 1.45  # BASELINE.md, measured on this container
 

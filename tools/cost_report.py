@@ -5,6 +5,8 @@ import os
 import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 import numpy as np
 

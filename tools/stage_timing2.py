@@ -6,6 +6,8 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 import numpy as np
 
