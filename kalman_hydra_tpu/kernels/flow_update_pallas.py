@@ -142,7 +142,7 @@ def flow_update(R0p: jnp.ndarray, R1wp: jnp.ndarray, flow_p: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_flow_update_kernel, th, w, h, bw, weights),
         grid=(h_pad // th,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec((2, th, w), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, h_pad, w), jnp.float32),

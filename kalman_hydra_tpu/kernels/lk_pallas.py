@@ -162,7 +162,7 @@ def _lk_level(img_a, img_b, gx, gy, pts, guess, cfg: FlowConfig,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # pts, guess
         grid=(K,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=(pl.BlockSpec((1, 2), lambda k, *_: (k, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, 1), lambda k, *_: (k, 0),

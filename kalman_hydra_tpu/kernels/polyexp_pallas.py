@@ -97,7 +97,7 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
                           float(ig11), float(ig03), float(ig33), float(ig55),
                           th, w),
         grid=(h_pad // th,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((5, th, w), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, h_pad, w), jnp.float32),

@@ -72,7 +72,7 @@ def pyr_down(img: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     out = pl.pallas_call(
         functools.partial(_pyr_kernel, th_out, ow),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((th_out, ow), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((oh_pad, ow), jnp.float32),
