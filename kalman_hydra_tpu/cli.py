@@ -13,6 +13,7 @@ import argparse
 import dataclasses
 import json
 import logging
+import os
 import sys
 
 import numpy as np
@@ -32,8 +33,9 @@ def _load_cfg(args):
     if getattr(args, "tracks", None):
         over["tracks"] = dataclasses.replace(cfg.tracks,
                                              num_tracks=args.tracks)
-    if getattr(args, "smooth", False):
-        over["smooth"] = SmoothConfig(enabled=True)
+    if getattr(args, "smooth", False) or getattr(args, "smooth_chunk", 0):
+        over["smooth"] = SmoothConfig(
+            enabled=True, chunk=getattr(args, "smooth_chunk", 0) or 0)
     return cfg.replace(**over) if over else cfg
 
 
@@ -50,6 +52,9 @@ def main(argv=None):
     t.add_argument("--method", choices=["farneback", "lk_dense", "lk_sparse"])
     t.add_argument("--tracks", type=int)
     t.add_argument("--smooth", action="store_true")
+    t.add_argument("--smooth-chunk", type=int, default=0,
+                   help="host-chunked RTS chunk length (0 = on-device "
+                        "monolithic; implies --smooth when > 0)")
     t.add_argument("--stream", action="store_true",
                    help="O(1)-memory streaming mode")
     t.add_argument("--checkpoint", help="state checkpoint path")
@@ -109,7 +114,7 @@ def main(argv=None):
             tracks = run()
         live = tracks.alive.mean()
         from .utils.report import run_report
-        rep = run_report(tracks)
+        rep = run_report(tracks, gate_chi2=cfg.ekf.gate_chi2)
         logger.info("run report: %s", json.dumps(rep, sort_keys=True))
         report_path = args.out.rsplit(".", 1)[0] + ".report.json"
         with open(report_path, "w") as f:
@@ -144,7 +149,16 @@ def main(argv=None):
 
     if args.cmd == "bench":
         import subprocess
-        cmd = [sys.executable, "bench.py"]
+        # bench.py lives at the repo root (one level above the package),
+        # so the subcommand works from any cwd / installed package
+        bench_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py")
+        if not os.path.exists(bench_path):
+            print(f"bench harness not found at {bench_path}; run "
+                  f"`python bench.py` from a repo checkout", file=sys.stderr)
+            return 1
+        cmd = [sys.executable, bench_path]
         if args.quick:
             cmd.append("--quick")
         elif args.config:

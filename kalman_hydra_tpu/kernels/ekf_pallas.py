@@ -180,6 +180,10 @@ def ekf_fused_step(x, P, y, H, F, Q, r, interpret: bool = False
     """
     K, n = x.shape
     Kp = _round_up(max(K, _LANES), _LANES)
+    # _ekf_call tiles the lane axis with TILE = min(512, Kp); pad Kp up to a
+    # multiple of that tile so the ceil-free grid covers every track (a
+    # 128-padded count in (512, 1024) would otherwise lose its tail tile)
+    Kp = _round_up(Kp, min(512, Kp))
     pad = Kp - K
 
     x_t = jnp.pad(x, ((0, pad), (0, 0))).T                       # (n, Kp)

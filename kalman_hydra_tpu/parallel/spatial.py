@@ -15,15 +15,12 @@ warp are all local given halos; the warp's vertical displacement is
 clamped to the halo width (documented semantic bound, default 8 px/level,
 well above per-level LK updates).
 
-Design note — spatially-sharded Farneback (not yet implemented; optional
-per SURVEY.md §2.2 since one chip already exceeds the 5x target 24-fold):
-the blur/polyexp/box stages shard exactly like LK (fixed halos 39/11/7
-rows at 1080p/8, all < the 135-row local band), but cv2's cvRound level
-sizes (1080 -> 540 -> 270 -> 135 -> 68 -> 34) stop dividing by the mesh at
-level 3. The plan is a mixed pyramid: levels with H_l % n == 0 and
-H_l/n >= halo stay row-sharded; coarser levels all_gather once and compute
-replicated (they are <6%% of the pixels). The x2 flow upsample at the
-sharded/replicated boundary is a single dynamic-slice per device.
+Spatially-sharded Farneback is implemented below (`farneback_sharded`):
+cv2's cvRound level sizes (1080 -> 540 -> 270 -> 135 -> 68 -> 34) stop
+dividing by the mesh at level 3, so coarse levels compute replicated
+(each device runs them on its full-frame copy — <25% of the pixels) and
+the finest level runs row-sharded with `ppermute` flow-halo exchange
+between iterations. Parity-tested on 2/4/8 fake devices.
 """
 
 from __future__ import annotations

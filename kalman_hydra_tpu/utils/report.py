@@ -16,7 +16,8 @@ from ..io.export import Trajectories
 
 
 def run_report(tracks: Trajectories, wall_seconds: Optional[float] = None,
-               nis_bins=(0.5, 1, 2, 4, 9.21, 50)) -> dict:
+               nis_bins=(0.5, 1, 2, 4, 9.21, 50),
+               gate_chi2: float = 9.21) -> dict:
     T, K = tracks.alive.shape
     live_frac = tracks.alive.mean(axis=1)
     rep = {
@@ -38,7 +39,9 @@ def run_report(tracks: Trajectories, wall_seconds: Optional[float] = None,
             rep["nis_p95"] = float(np.percentile(nis, 95))
             rep["nis_hist"] = {f"<{e}": int(c) for e, c in
                                zip(list(nis_bins) + ["inf"], hist[1:])}
-            rep["nis_gated_fraction"] = float((nis > nis_bins[-1]).mean())
+            # fraction above the configured chi^2 gate (EkfConfig.gate_chi2),
+            # not the top histogram bin — the bins are display-only
+            rep["nis_gated_fraction"] = float((nis > gate_chi2).mean())
     if tracks.track_id is not None:
         rep["reseeds_total"] = int(tracks.track_id[-1].sum())
     return rep

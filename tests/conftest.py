@@ -24,6 +24,12 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-horizon tests (run by default; deselect "
+        "with -m 'not slow')")
+
+
 @pytest.fixture(scope="session")
 def blob_clip():
     """Seeded 128x128 moving-blob clip + truth (config-1 style)."""

@@ -52,6 +52,37 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path):
                                atol=1e-4)
 
 
+def test_checkpoint_resume_preserves_reinit_cadence(tmp_path):
+    """Resume must restore frame_idx + the corner-pool cache so
+    reinit_every>1 keeps its refresh cadence (regression: resume used to
+    silently refresh every frame)."""
+    import pytest
+    from kalman_hydra_tpu import pipeline as pl
+    from kalman_hydra_tpu.config import FlowConfig, RunConfig, TrackConfig
+
+    frames, _ = moving_blob_clip(num_frames=8, height=64, width=64, seed=5)
+    cfg = RunConfig(flow=FlowConfig(levels=2),
+                    tracks=TrackConfig(num_tracks=8, corner_pool=16,
+                                       reinit_every=3))
+    full = pl.track_stream(iter(frames), cfg)
+
+    ck = str(tmp_path / "state.npz")
+    pl.track_stream(iter(frames[:5]), cfg, checkpoint_path=ck,
+                    checkpoint_every=2)  # checkpoint lands at frame_idx=4
+    resumed = pl.track_stream(iter(frames), cfg, checkpoint_path=ck,
+                              resume=True)
+    np.testing.assert_allclose(resumed.positions,
+                               full.positions[-len(resumed.positions):],
+                               atol=1e-4)
+    np.testing.assert_array_equal(resumed.track_id,
+                                  full.track_id[-len(resumed.track_id):])
+
+    # a stream shorter than the checkpointed index raises clearly
+    with pytest.raises(ValueError, match="resume"):
+        pl.track_stream(iter(frames[:3]), cfg, checkpoint_path=ck,
+                        resume=True)
+
+
 def test_runconfig_json_roundtrip():
     from kalman_hydra_tpu.config import (EkfConfig, FlowConfig, RunConfig,
                                          SmoothConfig, TrackConfig)

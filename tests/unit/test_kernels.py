@@ -76,6 +76,32 @@ def test_ekf_kernel_matches_xla(state_dim, rng):
     assert np.abs(np.asarray(ng) - np.asarray(nr)).max() < 1e-4
 
 
+@pytest.mark.parametrize("K", [600, 700])
+def test_ekf_kernel_tail_tile(K, rng):
+    """Padded track counts in (512, 1024) not divisible by 512 must still
+    compute every lane (regression: the grid used to drop the tail tile)."""
+    cfg = EkfConfig(state_dim=4)
+    n = 4
+    F = dyn.transition(cfg)
+    Q = dyn.process_noise(cfg)
+    H = dyn.position_H(cfg)
+    R = (cfg.r * np.eye(2)).astype(np.float32)
+    x = rng.normal(size=(K, n)).astype(np.float32)
+    P = np.broadcast_to(np.eye(n, dtype=np.float32) * 3, (K, n, n)).copy()
+    z = rng.normal(size=(K, 2)).astype(np.float32) * 3
+
+    xp, Pp = jekf.predict(jnp.asarray(x), jnp.asarray(P), jnp.asarray(F),
+                          jnp.asarray(Q))
+    y = jnp.asarray(z) - xp[:, 0:2]
+    xr, Pr, nr = jekf.update(xp, Pp, y, jnp.asarray(H), jnp.asarray(R))
+    xg, Pg, ng = ekf_fused_step(jnp.asarray(x), jnp.asarray(P), y,
+                                jnp.asarray(H), F, Q, cfg.r, interpret=True)
+    # the old bug left the tail lanes unwritten — compare the FULL batch
+    assert np.abs(np.asarray(xg) - np.asarray(xr)).max() < 1e-4
+    assert np.abs(np.asarray(Pg) - np.asarray(Pr)).max() < 1e-4
+    assert np.abs(np.asarray(ng) - np.asarray(nr)).max() < 1e-4
+
+
 def test_ekf_kernel_per_track_H(rng):
     """Implicit-flow EKF uses a per-track H — kernel must handle (K,2,n)."""
     cfg = EkfConfig(state_dim=4)
