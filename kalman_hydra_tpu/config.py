@@ -49,6 +49,11 @@ class FlowConfig:
                                # per-level displacement clamp (px); 0 = exact
     bf16_poly: bool = False    # store polyexp planes in bfloat16 (halves
                                # warp bandwidth; ~4e-4 px EPE, PARITY.md)
+    lk_block_halo: int = 0     # >0: sparse LK extracts one halo'd block per
+                               # point per level (row-gather + one-hot MXU
+                               # contraction) and iterates gather-free
+                               # inside it, clamping per-level displacement
+                               # to the halo; 0 = exact per-iter slices
 
     def __post_init__(self):
         if self.method not in ("farneback", "lk_dense", "lk_sparse"):
@@ -70,22 +75,55 @@ class EkfConfig:
     """
 
     state_dim: int = 4          # 4 (constant velocity) | 6 (constant accel)
+    dynamics: str = "auto"      # "auto" (cv/ca by state_dim) | "ct"
+                                # (coordinated turn, 4-state, fixed rate)
+    turn_rate: float = 0.0      # rad/frame for dynamics="ct"
     dt: float = 1.0             # frame interval
     q: float = 0.05             # process-noise spectral density (accel^2)
     r: float = 0.25             # measurement noise variance (px^2)
     p0_pos: float = 1.0         # initial position variance
     p0_vel: float = 10.0        # initial velocity variance
     p0_acc: float = 10.0        # initial acceleration variance (6-state)
-    measurement: str = "position"  # "position" (linear KF) | "implicit_flow" (EKF)
+    measurement: str = "position"  # "position" (linear KF)
+                                   # | "implicit_flow" (EKF)
+                                   # | "photometric" (appearance GN channel)
+                                   # | "flow_photometric" (both, sequential)
     iekf_iters: int = 1         # >1 enables the iterated-EKF variant
+    filter_type: str = "ekf"    # "ekf" | "ukf" (unscented flow update;
+                                # only affects nonlinear flow measurements)
+    ukf_alpha: float = 1.0      # sigma-point spread (lam = a^2(n+k) - n;
+                                # keep n+lam > 0 to avoid negative-weight
+                                # covariance collapse)
+    ukf_beta: float = 2.0       # prior-distribution constant (Gaussian)
+    ukf_kappa: float = 0.0      # secondary scaling
     gate_chi2: float = 9.21     # chi^2(2 dof, 0.99) NIS gate
     max_misses: int = 5         # consecutive gated frames before re-seed
+    adaptive_q: float = 0.0     # >0: Mehra-style per-track Q adaptation
+                                # rate (NIS-driven scale in [0.1, 10])
+    # --- photometric channel (models/photometric.py: the render-residual
+    #     observation analog, SURVEY.md §2.1 #3/#4) ---
+    photo_win: int = 13         # template window (odd)
+    photo_iters: int = 5        # Gauss-Newton iterations
+    photo_r: float = 4.0        # intensity noise variance sigma_I^2 (u8 scale)
+    photo_min_eig: float = 0.1  # min structure-tensor eigenvalue / pixel gate
+    photo_clip: float = 4.0     # per-iteration GN step clamp (px)
 
     def __post_init__(self):
         if self.state_dim not in (4, 6):
             raise ValueError("state_dim must be 4 or 6")
-        if self.measurement not in ("position", "implicit_flow"):
+        if self.measurement not in ("position", "implicit_flow",
+                                    "photometric", "flow_photometric"):
             raise ValueError(f"unknown measurement model {self.measurement!r}")
+        if self.photo_win % 2 == 0:
+            raise ValueError("photo_win must be odd")
+        if self.filter_type not in ("ekf", "ukf"):
+            raise ValueError(f"unknown filter_type {self.filter_type!r}")
+        if self.dynamics not in ("auto", "ct"):
+            raise ValueError(f"unknown dynamics model {self.dynamics!r}")
+        if self.dynamics == "ct" and (
+                self.state_dim != 4 or self.turn_rate == 0.0):
+            raise ValueError("dynamics='ct' needs state_dim=4 and a "
+                             "nonzero turn_rate")
 
 
 @dataclass(frozen=True)
@@ -108,10 +146,21 @@ class TrackConfig:
 
 @dataclass(frozen=True)
 class SmoothConfig:
-    """RTS smoother (BASELINE.json:11)."""
+    """RTS smoother (BASELINE.json:11).
+
+    chunk = 0: monolithic backward pass on device (history stays in HBM).
+    chunk > 0: host-chunked smoothing (models.rts.rts_smooth_chunked) —
+    O(chunk) device memory for long horizons (SURVEY.md §3.4 memory plan);
+    also the mode `track_stream` uses for streaming smoothing (where it
+    defaults to 64 if left at 0).
+    """
 
     enabled: bool = False
-    chunk: int = 64             # backward-pass chunk length (memory plan §3.4)
+    chunk: int = 0              # 0 = monolithic on-device; >0 = host-chunked
+
+    def __post_init__(self):
+        if self.chunk < 0:
+            raise ValueError("chunk must be >= 0")
 
 
 @dataclass(frozen=True)

@@ -81,13 +81,16 @@ def rts_smooth(F: jnp.ndarray,
     return xs, Ps
 
 
-def rts_smooth_chunked(F, x_filt, P_filt, x_pred, P_pred, chunk: int):
+def rts_smooth_chunked(F, x_filt, P_filt, x_pred, P_pred, chunk: int,
+                       breaks=None):
     """Host-chunked RTS for long horizons (SURVEY.md §3.4 memory plan).
 
     Inputs are HOST arrays (T, K, ...); the device holds one `chunk` of
     history at a time — O(chunk) device memory instead of O(T). The
     smoothed boundary state threads between chunks, so the result equals
-    the monolithic `rts_smooth` exactly.
+    the monolithic `rts_smooth` exactly. `breaks` ((T-1, K) bool, row t =
+    segment boundary between frames t and t+1) restarts the recursion at
+    re-seeds/deaths exactly as in `rts_smooth`.
     """
     import numpy as np
     import jax
@@ -109,7 +112,9 @@ def rts_smooth_chunked(F, x_filt, P_filt, x_pred, P_pred, chunk: int):
             jnp.asarray(x_filt[lo:hi]), jnp.asarray(P_filt[lo:hi]),
             jnp.asarray(x_pred[lo + 1:hi + 1]),
             jnp.asarray(P_pred[lo + 1:hi + 1]),
-            init=init)
+            init=init,
+            breaks=(jnp.asarray(breaks[lo:hi])
+                    if breaks is not None else None))
         xs_out[lo:hi] = np.asarray(xs_c)
         Ps_out[lo:hi] = np.asarray(Ps_c)
         init = (xs_c[0], Ps_c[0])

@@ -61,7 +61,13 @@ def make_step(cfg: RunConfig):
         gray = grayscale_u8(frame)
         h, w = gray.shape
 
-        if cfg.flow.method == "lk_sparse":
+        if cfg.ekf.measurement == "photometric":
+            # appearance-only channel (render-residual analog): reads the
+            # frames directly, no dense flow — survives flow dropout
+            from .models.photometric import photometric_step
+            state, aux = photometric_step(carry.tracks, carry.prev_gray,
+                                          gray, cfg.ekf, F, Q)
+        elif cfg.flow.method == "lk_sparse":
             pos = carry.tracks.x[:, 0:2]
             if cfg.impl == "pallas":
                 from .kernels.lk_pallas import lk_sparse as _lk_pl
@@ -87,16 +93,28 @@ def make_step(cfg: RunConfig):
                 P=jnp.where(m[..., None], P_new, P_pred))
             aux = {"x_pred": x_pred, "P_pred": P_pred,
                    "nis": jnp.where(live, nis, 0.0)}
-        elif cfg.flow.method == "farneback" and cfg.impl == "xla":
+        elif cfg.flow.method == "farneback":
             # reuse the cached polyexp pyramid of the previous frame
+            # (both impls: the pallas path would otherwise recompute each
+            # frame's polyexp twice)
             from .ops.farneback import (farneback_from_pyramids,
                                         polyexp_pyramid)
-            rpyr = polyexp_pyramid(gray, cfg.flow)
-            flow = farneback_from_pyramids(carry.prev_rpyr, rpyr, cfg.flow)
+            rpyr = polyexp_pyramid(gray, cfg.flow, impl=cfg.impl)
+            flow = farneback_from_pyramids(carry.prev_rpyr, rpyr, cfg.flow,
+                                           impl=cfg.impl)
             state, aux = ekf_step(carry.tracks, flow, cfg.ekf, F, Q, R)
         else:
             flow = _flow_field(carry.prev_gray, gray, cfg)
             state, aux = ekf_step(carry.tracks, flow, cfg.ekf, F, Q, R)
+        if (cfg.ekf.measurement == "flow_photometric"
+                and cfg.flow.method != "lk_sparse"):
+            # second sequential measurement: photometric refinement of the
+            # flow-updated state (SURVEY.md §2.1 #3 "flow as an additional
+            # measurement channel" — here flow is primary, appearance second)
+            from .models.photometric import photometric_refine
+            state, aux = photometric_refine(state, aux, carry.prev_gray,
+                                            gray, carry.tracks.x[:, 0:2],
+                                            cfg.ekf)
 
         state = lifecycle.gate(state, aux["x_pred"], aux["P_pred"],
                                aux["nis"], cfg.ekf)
@@ -134,7 +152,9 @@ def make_step(cfg: RunConfig):
             "x_pred": aux["x_pred"],
             "P_pred": aux["P_pred"],
         }
-        if cfg.flow.method == "farneback" and cfg.impl == "xla":
+        if cfg.ekf.measurement == "photometric":
+            new_rpyr = carry.prev_rpyr      # no flow pyramids in this mode
+        elif cfg.flow.method == "farneback":
             new_rpyr = rpyr
         elif cfg.flow.method == "lk_sparse" and cfg.impl != "pallas":
             new_rpyr = lk_cache
@@ -163,9 +183,11 @@ def init_from_frame(frame0, cfg: RunConfig) -> Carry:
                              pool_size=cfg.tracks.num_tracks, mask=mask)
     state = init_tracks(cfg.ekf, pts, valid=score > 0)
     rpyr = ()
-    if cfg.flow.method == "farneback" and cfg.impl == "xla":
+    if cfg.ekf.measurement == "photometric":
+        pass                                 # no flow pyramids in this mode
+    elif cfg.flow.method == "farneback":
         from .ops.farneback import polyexp_pyramid
-        rpyr = polyexp_pyramid(gray0, cfg.flow)
+        rpyr = polyexp_pyramid(gray0, cfg.flow, impl=cfg.impl)
     elif cfg.flow.method == "lk_sparse" and cfg.impl != "pallas":
         rpyr = lk_ops.lk_pyramid(gray0, cfg.flow)
     corner_cache = ()
@@ -186,9 +208,9 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
     """
     carry0 = init_from_frame(frames[0], cfg)
     if seeds is not None:
-        state = init_tracks(cfg.ekf, seeds)
-        carry0 = Carry(tracks=state, prev_gray=carry0.prev_gray,
-                       prev_rpyr=carry0.prev_rpyr)
+        # _replace keeps corner_cache/frame_idx so reinit_every>1 caching
+        # stays active with explicit seeds
+        carry0 = carry0._replace(tracks=init_tracks(cfg.ekf, seeds))
     if cfg.tracks.init_velocity:
         # prime velocities with the frame0->frame1 flow at the seeds: the
         # filter starts converged instead of dead-reckoning from v=0
@@ -197,9 +219,7 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
         flow01 = _flow_field(carry0.prev_gray, gray1, cfg)
         v0 = sample_flow(flow01, carry0.tracks.x[:, 0:2]) / cfg.ekf.dt
         x0 = carry0.tracks.x.at[:, 2:4].set(v0)
-        carry0 = Carry(tracks=carry0.tracks._replace(x=x0),
-                       prev_gray=carry0.prev_gray,
-                       prev_rpyr=carry0.prev_rpyr)
+        carry0 = carry0._replace(tracks=carry0.tracks._replace(x=x0))
     step = make_step(cfg)
     carry, outs = lax.scan(step, carry0, frames[1:])
     # prepend the frame-0 row
@@ -307,11 +327,26 @@ def track_clip(frames: np.ndarray, cfg: RunConfig,
     """
     frames_d = jnp.asarray(frames)
     seeds_d = None if seeds is None else jnp.asarray(seeds)
-    outs = _track_clip_jit(frames_d, cfg, with_history, seeds_d)
-    # fetch only the trajectory-sized outputs (D2H is the expensive path;
-    # smoothing already ran on device)
-    keep = ("pos", "alive", "nis", "track_id", "smoothed")
-    outs = jax.device_get({k: v for k, v in outs.items() if k in keep})
+    if cfg.smooth.enabled and cfg.smooth.chunk > 0:
+        # host-chunked smoothing (SmoothConfig.chunk > 0): run the filter
+        # with history, offload it, smooth O(chunk) on device — the
+        # long-horizon memory plan (SURVEY.md §3.4). Monolithic on-device
+        # RTS (chunk == 0) stays the throughput path.
+        import dataclasses
+        filt_cfg = cfg.replace(
+            smooth=dataclasses.replace(cfg.smooth, enabled=False))
+        outs = jax.device_get(
+            _track_clip_jit(frames_d, filt_cfg, True, seeds_d))
+        outs["smoothed"] = _smooth_history_chunked(outs, cfg)[..., 0:2]
+        if not with_history:
+            outs = {k: v for k, v in outs.items()
+                    if k in ("pos", "alive", "nis", "track_id", "smoothed")}
+    else:
+        outs = _track_clip_jit(frames_d, cfg, with_history, seeds_d)
+        # fetch only the trajectory-sized outputs (D2H is the expensive
+        # path; smoothing already ran on device)
+        keep = ("pos", "alive", "nis", "track_id", "smoothed")
+        outs = jax.device_get({k: v for k, v in outs.items() if k in keep})
     traj = Trajectories(
         positions=np.asarray(outs["pos"]),
         alive=np.asarray(outs["alive"]),
@@ -320,6 +355,22 @@ def track_clip(frames: np.ndarray, cfg: RunConfig,
         smoothed=(np.asarray(outs["smoothed"])
                   if "smoothed" in outs else None))
     return traj
+
+
+def _smooth_history_chunked(outs, cfg: RunConfig) -> np.ndarray:
+    """Chunked RTS over host-resident filter history: segment breaks at
+    re-seeds/dead frames, O(chunk) device memory (models/rts.py)."""
+    from .models.rts import rts_smooth_chunked
+    tid = np.asarray(outs["track_id"])
+    alive = np.asarray(outs["alive"])
+    breaks = (tid[1:] != tid[:-1]) | ~alive[1:] | ~alive[:-1]
+    F = np.asarray(dynamics.transition(cfg.ekf))
+    chunk = cfg.smooth.chunk if cfg.smooth.chunk > 0 else 64
+    xs, _Ps = rts_smooth_chunked(
+        F, np.asarray(outs["x_filt"]), np.asarray(outs["P_filt"]),
+        np.asarray(outs["x_pred"]), np.asarray(outs["P_pred"]),
+        chunk=chunk, breaks=breaks)
+    return xs
 
 
 def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
@@ -338,32 +389,56 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
     import os
     from .utils import checkpoint as ckpt
 
+    # with smoothing on, the per-frame filter history is offloaded to host
+    # RAM and smoothed chunk-at-a-time afterwards: O(chunk) device memory
+    # in clip length (SURVEY.md §5 long-context; SmoothConfig.chunk)
+    fetch_keys = ("pos", "alive", "nis", "track_id")
+    if cfg.smooth.enabled:
+        fetch_keys += ("x_filt", "P_filt", "x_pred", "P_pred")
+
     rows = []
     it = iter(frame_iter)
     start_idx = 0
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
-        state, prev_gray, start_idx = ckpt.load_state(checkpoint_path)
+        state, prev_gray, start_idx, ccache = ckpt.load_state(checkpoint_path)
+        prev_gray_d = jnp.asarray(prev_gray)
         rpyr = ()
-        if cfg.flow.method == "farneback" and cfg.impl == "xla":
+        if cfg.ekf.measurement == "photometric":
+            pass                             # no flow pyramids in this mode
+        elif cfg.flow.method == "farneback":
             from .ops.farneback import polyexp_pyramid
-            rpyr = jax.jit(polyexp_pyramid, static_argnames="cfg")(
-                jnp.asarray(prev_gray), cfg.flow)
+            rpyr = jax.jit(polyexp_pyramid,
+                           static_argnames=("cfg", "impl"))(
+                prev_gray_d, cfg.flow, impl=cfg.impl)
+        elif cfg.flow.method == "lk_sparse" and cfg.impl != "pallas":
+            rpyr = lk_ops.lk_pyramid(prev_gray_d, cfg.flow)
+        corner_cache = ()
+        if cfg.tracks.reinit and cfg.tracks.reinit_every > 1:
+            # restore the pool verbatim (old checkpoints without it fall
+            # back to recomputing from the checkpointed frame)
+            if ccache is not None:
+                corner_cache = tuple(jnp.asarray(a) for a in ccache)
+            else:
+                corner_cache = corner_pool(prev_gray_d, cfg.tracks)
         carry = Carry(tracks=jax.tree.map(jnp.asarray, state),
-                      prev_gray=jnp.asarray(prev_gray), prev_rpyr=rpyr)
+                      prev_gray=prev_gray_d, prev_rpyr=rpyr,
+                      corner_cache=corner_cache,
+                      frame_idx=jnp.int32(start_idx))
         # frame_idx counts filter steps: state at frame_idx=k has consumed
         # frames 0..k (frame 0 seeded the filter), so skip k+1 frames
-        for _ in range(start_idx + 1):
-            next(it)
+        import itertools
+        skipped = sum(1 for _ in itertools.islice(it, start_idx + 1))
+        if skipped < start_idx + 1:
+            raise ValueError(
+                f"resume: stream ended after {skipped} frames but the "
+                f"checkpoint was written at frame {start_idx} — the stream "
+                f"must replay at least the first {start_idx + 1} frames")
     else:
         if frame0 is None:
             frame0 = next(it)
         carry = jax.jit(init_from_frame, static_argnames="cfg")(
             jnp.asarray(frame0), cfg)
-        rows.append({
-            "pos": np.asarray(carry.tracks.x[:, 0:2]),
-            "alive": np.asarray(carry.tracks.alive),
-            "nis": np.zeros(cfg.tracks.num_tracks, np.float32),
-            "track_id": np.asarray(carry.tracks.track_id)})
+        rows.append(_state_row(carry, cfg, fetch_keys))
 
     raw_step = make_step(cfg)
     step_fn = jax.jit(lambda c, f: raw_step(c, f))
@@ -374,25 +449,42 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
         frame_idx += 1
         if pending is not None:
             rows.append(jax.device_get(
-                {k: pending[k] for k in ("pos", "alive", "nis", "track_id")}))
+                {k: pending[k] for k in fetch_keys}))
         pending = out
         if (checkpoint_path and checkpoint_every
                 and frame_idx % checkpoint_every == 0):
             ckpt.save_state(checkpoint_path, jax.device_get(carry.tracks),
-                            np.asarray(carry.prev_gray), frame_idx)
+                            np.asarray(carry.prev_gray), frame_idx,
+                            corner_cache=carry.corner_cache)
     if pending is not None:
         rows.append(jax.device_get(
-            {k: pending[k] for k in ("pos", "alive", "nis", "track_id")}))
+            {k: pending[k] for k in fetch_keys}))
     if not rows:
         # resumed at (or past) the end of the stream: report the restored
         # state as a single row rather than failing
-        rows.append({
-            "pos": np.asarray(carry.tracks.x[:, 0:2]),
-            "alive": np.asarray(carry.tracks.alive),
-            "nis": np.zeros(cfg.tracks.num_tracks, np.float32),
-            "track_id": np.asarray(carry.tracks.track_id)})
+        rows.append(_state_row(carry, cfg, fetch_keys))
+    smoothed = None
+    if cfg.smooth.enabled and len(rows) > 1:
+        hist = {k: np.stack([np.asarray(r[k]) for r in rows])
+                for k in ("x_filt", "P_filt", "x_pred", "P_pred",
+                          "track_id", "alive")}
+        smoothed = _smooth_history_chunked(hist, cfg)[..., 0:2]
     return Trajectories(
         positions=np.stack([np.asarray(r["pos"]) for r in rows]),
         alive=np.stack([np.asarray(r["alive"]) for r in rows]),
         nis=np.stack([np.asarray(r["nis"]) for r in rows]),
-        track_id=np.stack([np.asarray(r["track_id"]) for r in rows]))
+        track_id=np.stack([np.asarray(r["track_id"]) for r in rows]),
+        smoothed=smoothed)
+
+
+def _state_row(carry: Carry, cfg: RunConfig, fetch_keys) -> dict:
+    """Host row for a bare filter state (frame 0 / resume-at-end)."""
+    x = np.asarray(carry.tracks.x)
+    P = np.asarray(carry.tracks.P)
+    row = {"pos": x[:, 0:2],
+           "alive": np.asarray(carry.tracks.alive),
+           "nis": np.zeros(cfg.tracks.num_tracks, np.float32),
+           "track_id": np.asarray(carry.tracks.track_id)}
+    if "x_filt" in fetch_keys:
+        row.update({"x_filt": x, "P_filt": P, "x_pred": x, "P_pred": P})
+    return row
