@@ -43,6 +43,8 @@ class TrackState(NamedTuple):
     alive: jnp.ndarray     # (K,) bool
     misses: jnp.ndarray    # (K,) int32 consecutive gated frames
     track_id: jnp.ndarray  # (K,) int32 generation id (bumped on re-seed)
+    q_scale: jnp.ndarray = None  # (K,) per-track process-noise scale
+                                 # (None unless EkfConfig.adaptive_q > 0)
 
 
 def init_tracks(cfg: EkfConfig, seeds: jnp.ndarray,
@@ -61,16 +63,21 @@ def init_tracks(cfg: EkfConfig, seeds: jnp.ndarray,
     alive = jnp.ones(k, bool) if valid is None else valid
     return TrackState(x=x, P=P, alive=alive,
                       misses=jnp.zeros(k, jnp.int32),
-                      track_id=jnp.zeros(k, jnp.int32))
+                      track_id=jnp.zeros(k, jnp.int32),
+                      q_scale=(jnp.ones(k, jnp.float32)
+                               if cfg.adaptive_q > 0 else None))
 
 
 # ----------------------------------------------------------------- predict
 
-def predict(x: jnp.ndarray, P: jnp.ndarray, F: jnp.ndarray, Q: jnp.ndarray):
-    """Batched x <- Fx, P <- FPF^T + Q. F, Q are (n, n) constants."""
+def predict(x: jnp.ndarray, P: jnp.ndarray, F: jnp.ndarray, Q: jnp.ndarray,
+            q_scale: jnp.ndarray = None):
+    """Batched x <- Fx, P <- FPF^T + Q. F, Q are (n, n) constants;
+    q_scale optionally scales Q per track (adaptive process noise)."""
     x_p = jnp.einsum("ij,kj->ki", F, x, precision=_PREC)
     FP = jnp.einsum("ij,kjl->kil", F, P, precision=_PREC)
-    P_p = jnp.einsum("kil,jl->kij", FP, F, precision=_PREC) + Q
+    Qk = Q if q_scale is None else q_scale[:, None, None] * Q
+    P_p = jnp.einsum("kil,jl->kij", FP, F, precision=_PREC) + Qk
     return x_p, P_p
 
 
@@ -100,8 +107,9 @@ def update(x: jnp.ndarray, P: jnp.ndarray, y: jnp.ndarray, H: jnp.ndarray,
            R: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched measurement update from precomputed residual y = z - h(x).
 
-    x (K, n), P (K, n, n), y (K, 2), H (K, 2, n) or (2, n), R (2, 2).
-    Returns (x_post, P_post, nis).
+    x (K, n), P (K, n, n), y (K, 2), H (K, 2, n) or (2, n), R (2, 2) or
+    per-track (K, 2, 2) (the photometric channel's Gauss-Newton
+    covariance). Returns (x_post, P_post, nis).
     """
     if H.ndim == 2:
         H = jnp.broadcast_to(H, (x.shape[0],) + H.shape)
@@ -115,10 +123,14 @@ def update(x: jnp.ndarray, P: jnp.ndarray, y: jnp.ndarray, H: jnp.ndarray,
     n = x.shape[1]
     I = jnp.eye(n, dtype=x.dtype)
     IKH = I - jnp.einsum("kim,kmj->kij", Kg, H, precision=_PREC)
+    if R.ndim == 3:
+        KRKt = jnp.einsum("kim,kmn,kjn->kij", Kg, R, Kg, precision=_PREC)
+    else:
+        KRKt = jnp.einsum("kim,mn,kjn->kij", Kg, R, Kg, precision=_PREC)
     P_post = (jnp.einsum("kij,kjl->kil",
                          jnp.einsum("kij,kjl->kil", IKH, P, precision=_PREC),
                          jnp.swapaxes(IKH, 1, 2), precision=_PREC)
-              + jnp.einsum("kim,mn,kjn->kij", Kg, R, Kg, precision=_PREC))
+              + KRKt)
     return x_post, P_post, nis
 
 
@@ -172,11 +184,15 @@ def ekf_step(state: TrackState, flow: jnp.ndarray, cfg: EkfConfig,
     and gating.
     """
     x_prev = state.x
-    x_pred, P_pred = predict(state.x, state.P, F, Q)
+    x_pred, P_pred = predict(state.x, state.P, F, Q, q_scale=state.q_scale)
 
     if cfg.measurement == "position":
         y, H = measure_position(flow, x_prev, x_pred, cfg)
         x_new, P_new, nis = update(x_pred, P_pred, y, H, R)
+    elif cfg.filter_type == "ukf":
+        from .ukf import ukf_update
+        x_new, P_new, nis = ukf_update(x_pred, P_pred, flow,
+                                       x_prev[:, 0:2], cfg.r, cfg)
     else:
         x_lin = x_pred
         x_new, P_new, nis = x_pred, P_pred, jnp.zeros(x_pred.shape[0])
@@ -194,4 +210,12 @@ def ekf_step(state: TrackState, flow: jnp.ndarray, cfg: EkfConfig,
     P_out = jnp.where(m[..., None], P_new, P_pred)
     nis = jnp.where(state.alive, nis, 0.0)
     new_state = state._replace(x=x_out, P=P_out)
+    if cfg.adaptive_q > 0 and state.q_scale is not None:
+        # Mehra-style innovation-based adaptation: E[NIS] = 2 for a
+        # consistent 2-dof filter; inflate Q when innovations run hot,
+        # relax when cold. Bounded to [0.1, 10] x the configured Q.
+        qs = state.q_scale * (1.0 + cfg.adaptive_q * (nis * 0.5 - 1.0))
+        qs = jnp.clip(qs, 0.1, 10.0)
+        new_state = new_state._replace(
+            q_scale=jnp.where(state.alive, qs, state.q_scale))
     return new_state, {"x_pred": x_pred, "P_pred": P_pred, "nis": nis}
