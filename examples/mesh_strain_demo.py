@@ -56,11 +56,30 @@ def main():
     print(f"  area ratio: mean {area.mean():.3f} "
           f"(rigid motion => ~1.0), max dev {np.abs(area - 1).max():.3f}")
 
+    print("dynamic remeshing on a 2x synthetic stretch...")
+    # stretch the tracked configuration synthetically to demonstrate
+    # strain-triggered re-meshing (the reference re-meshed as the body
+    # deformed, SURVEY.md §2.1 #7)
+    T = len(tr.positions)
+    s = 1.0 + 1.2 * np.arange(T, dtype=np.float32)[:, None, None] / (T - 1)
+    stretched = tr.positions * np.concatenate(
+        [s, np.ones_like(s)], axis=-1)
+    dyn = M.mesh_strain_sequence_dynamic(mesh, stretched,
+                                         shear_threshold=1.4,
+                                         min_quality=0.15)
+    print(f"  remesh events at frames {dyn['events']}; "
+          f"shear p95 max {dyn['max_shear_p95'].max():.2f} "
+          f"(bounded by the 1.4 trigger), "
+          f"quality floor {dyn['quality_min'].min():.2f}")
+
     np.savez_compressed(
         os.path.join(args.out_dir, "mesh_tracks.npz"),
         vertices=mesh.vertices, triangles=mesh.triangles,
         positions=tr.positions, area_ratio=area,
-        max_shear=strain["max_shear"])
+        max_shear=strain["max_shear"],
+        dyn_shear_p95=dyn["max_shear_p95"],
+        dyn_quality_min=dyn["quality_min"],
+        dyn_events=np.asarray(dyn["events"], np.int32))
     print("done ->", args.out_dir)
 
 

@@ -8,7 +8,13 @@ force loop); mesh TRACKING rides the existing EKF track pipeline (vertices
 == tracked points); per-triangle deformation/strain is computed on device,
 vmapped over triangles.
 
-Mesh topology is fixed after construction (static shapes under jit).
+Mesh topology is fixed BETWEEN remesh events (static shapes under jit);
+dynamic remeshing (the reference re-meshed as the body deformed —
+SURVEY.md §2.1 #7 DistMesh force relaxation) is strain-triggered on host:
+when the tracked configuration's shear exceeds a threshold, the topology
+is rebuilt on the current vertex positions (`remesh_topology`), or the
+body is fully resampled with Lloyd+Delaunay and track ids remapped to the
+nearest old vertex (`remesh_resample`).
 """
 
 from __future__ import annotations
@@ -52,8 +58,10 @@ def sample_mask_points(mask: np.ndarray, n_points: int,
 
 
 def build_mesh(points: np.ndarray,
-               max_edge: Optional[float] = None) -> BodyMesh:
-    """Delaunay triangulation; optionally drop sliver/long-edge triangles."""
+               max_edge: Optional[float] = None,
+               min_quality: float = 0.0) -> BodyMesh:
+    """Delaunay triangulation; optionally drop long-edge triangles
+    (max_edge) and slivers (min_quality, see triangle_quality)."""
     from scipy.spatial import Delaunay
     tri = Delaunay(points)
     t = tri.simplices.astype(np.int32)
@@ -61,6 +69,8 @@ def build_mesh(points: np.ndarray,
         p = points[t]                      # (T, 3, 2)
         e = np.linalg.norm(p - np.roll(p, 1, axis=1), axis=-1)
         t = t[(e <= max_edge).all(axis=1)]
+    if min_quality > 0.0:
+        t = t[triangle_quality(points, t) >= min_quality]
     return BodyMesh(vertices=points.astype(np.float32), triangles=t)
 
 
@@ -98,6 +108,103 @@ def triangle_deformation(rest: jnp.ndarray, current: jnp.ndarray,
 
     F, area_ratio, shear = jax.vmap(one)(triangles)
     return {"F": F, "area_ratio": area_ratio, "max_shear": shear}
+
+
+def triangle_quality(points: np.ndarray, triangles: np.ndarray) -> np.ndarray:
+    """Per-triangle shape quality 4*sqrt(3)*area / sum(edge^2):
+    1 for equilateral, -> 0 for slivers (standard FEM quality measure)."""
+    p = np.asarray(points, np.float64)[np.asarray(triangles)]
+    e0 = p[:, 1] - p[:, 0]
+    e1 = p[:, 2] - p[:, 1]
+    e2 = p[:, 0] - p[:, 2]
+    area = 0.5 * np.abs(e0[:, 0] * (-e2[:, 1]) - e0[:, 1] * (-e2[:, 0]))
+    ssq = (e0 ** 2).sum(-1) + (e1 ** 2).sum(-1) + (e2 ** 2).sum(-1)
+    return (4.0 * np.sqrt(3.0) * area / np.maximum(ssq, 1e-12)).astype(
+        np.float32)
+
+
+def remesh_topology(positions: np.ndarray,
+                    max_edge: Optional[float] = None,
+                    min_quality: float = 0.0) -> BodyMesh:
+    """Rebuild topology on the CURRENT (deformed) vertex positions.
+
+    The vertex set — and therefore the track ids — is unchanged; only the
+    triangulation is re-run, so triangle quality resets to Delaunay-optimal
+    for the deformed configuration and the rest state becomes `positions`.
+    """
+    return build_mesh(np.asarray(positions, np.float32), max_edge=max_edge,
+                      min_quality=min_quality)
+
+
+def remesh_resample(positions: np.ndarray, n_points: Optional[int] = None,
+                    radius: float = 8.0, seed: int = 0):
+    """Full Lloyd+Delaunay resample of the deformed body.
+
+    Rasterizes the union of disks around the current vertices (the body's
+    footprint as seen by the tracker), samples ~uniform interior points
+    with Lloyd relaxation, triangulates, and maps every new vertex to its
+    nearest OLD vertex (the track-id remap the pipeline uses to hand
+    filter state to the new seeds). Returns (BodyMesh, vertex_map (V',)).
+    """
+    pos = np.asarray(positions, np.float64)
+    n_points = n_points or len(pos)
+    lo = np.floor(pos.min(axis=0) - radius).astype(int)
+    hi = np.ceil(pos.max(axis=0) + radius).astype(int) + 1
+    w, h = hi[0] - lo[0], hi[1] - lo[1]
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = np.zeros((h, w), bool)
+    for p in pos:
+        mask |= ((xx - (p[0] - lo[0])) ** 2
+                 + (yy - (p[1] - lo[1])) ** 2) <= radius * radius
+    pts = sample_mask_points(mask.astype(np.float32), n_points, seed=seed)
+    pts = pts + lo[None, :].astype(np.float32)
+    mesh = build_mesh(pts, max_edge=3.5 * radius)
+    d2 = ((pts[:, None, :] - pos[None, :, :].astype(np.float32)) ** 2).sum(-1)
+    vertex_map = d2.argmin(axis=1).astype(np.int32)
+    return mesh, vertex_map
+
+
+def mesh_strain_sequence_dynamic(mesh: BodyMesh, positions: np.ndarray,
+                                 shear_threshold: float = 1.5,
+                                 max_edge: Optional[float] = None,
+                                 min_quality: float = 0.0):
+    """Strain over a tracked sequence WITH strain-triggered remeshing.
+
+    Walks the (T, V, 2) vertex trajectories; whenever the 95th-percentile
+    per-triangle shear (relative to the current rest configuration)
+    exceeds `shear_threshold`, the topology is rebuilt on the current
+    positions and the rest state resets there — bounding both accumulated
+    strain and triangle-quality decay as the body deforms.
+
+    Returns dict with per-frame `max_shear_p95`, `quality_min`,
+    `quality_mean` (T,) and `events` (frame indices that remeshed).
+    Cumulative deformation across remesh events is the product of the
+    per-segment deformation gradients (standard multiplicative split).
+    """
+    rest = np.asarray(mesh.vertices, np.float32)
+    tris = mesh.triangles
+    events = []
+    shear_p95 = np.empty(len(positions), np.float32)
+    q_min = np.empty(len(positions), np.float32)
+    q_mean = np.empty(len(positions), np.float32)
+    for t, cur in enumerate(np.asarray(positions, np.float32)):
+        d = jax.device_get(triangle_deformation(
+            jnp.asarray(rest), jnp.asarray(cur), jnp.asarray(tris)))
+        s95 = float(np.percentile(d["max_shear"], 95))
+        if s95 > shear_threshold:
+            new_mesh = remesh_topology(cur, max_edge=max_edge,
+                                       min_quality=min_quality)
+            rest, tris = new_mesh.vertices, new_mesh.triangles
+            events.append(t)
+            d = jax.device_get(triangle_deformation(
+                jnp.asarray(rest), jnp.asarray(cur), jnp.asarray(tris)))
+            s95 = float(np.percentile(d["max_shear"], 95))
+        q = triangle_quality(cur, tris)
+        shear_p95[t] = s95
+        q_min[t] = float(q.min()) if len(q) else 0.0
+        q_mean[t] = float(q.mean()) if len(q) else 0.0
+    return {"max_shear_p95": shear_p95, "quality_min": q_min,
+            "quality_mean": q_mean, "events": events}
 
 
 def mesh_strain_sequence(mesh: BodyMesh, positions: np.ndarray,
