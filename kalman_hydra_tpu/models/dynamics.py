@@ -1,10 +1,11 @@
 """State-space dynamics for point tracks (SURVEY.md §2.3).
 
-Constant-velocity (4-state [x, y, vx, vy], BASELINE.json:7) and
+Constant-velocity (4-state [x, y, vx, vy], BASELINE.json:7),
 constant-acceleration (6-state [x, y, vx, vy, ax, ay], BASELINE.json:9)
-models with continuous white-noise discretized process covariance. Matrices
-are built host-side as NumPy constants (they are config-static) and closed
-over by the jitted filter code.
+and coordinated-turn (4-state with a config-fixed turn rate) models with
+continuous white-noise discretized process covariance. Matrices are built
+host-side as NumPy constants (they are config-static) and closed over by
+the jitted filter code.
 """
 
 from __future__ import annotations
@@ -17,6 +18,18 @@ from ..config import EkfConfig
 def transition(cfg: EkfConfig) -> np.ndarray:
     dt = cfg.dt
     n = cfg.state_dim
+    if cfg.dynamics == "ct":
+        # coordinated turn at the config's fixed rate (rad/frame): the
+        # velocity vector rotates by w*dt per step; positions integrate the
+        # rotating velocity exactly. Static F (jit-friendly), 4-state.
+        w = cfg.turn_rate
+        s, c = np.sin(w * dt), np.cos(w * dt)
+        sw = s / w
+        cw = (1.0 - c) / w
+        return np.array([[1, 0, sw, -cw],
+                         [0, 1, cw, sw],
+                         [0, 0, c, -s],
+                         [0, 0, s, c]], dtype=np.float32)
     F = np.eye(n, dtype=np.float32)
     F[0, 2] = dt
     F[1, 3] = dt

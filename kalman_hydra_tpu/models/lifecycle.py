@@ -80,5 +80,9 @@ def reseed(state: TrackState, corner_pts: jnp.ndarray,
     alive = state.alive | ok
     misses = jnp.where(ok, 0, state.misses)
     track_id = jnp.where(ok, state.track_id + 1, state.track_id)
-    return state._replace(x=x, P=P, alive=alive, misses=misses,
-                          track_id=track_id)
+    state = state._replace(x=x, P=P, alive=alive, misses=misses,
+                           track_id=track_id)
+    if state.q_scale is not None:
+        # adaptive process noise restarts at 1 for the fresh track
+        state = state._replace(q_scale=jnp.where(ok, 1.0, state.q_scale))
+    return state
