@@ -34,7 +34,7 @@ from jax import lax
 
 from ..config import FlowConfig
 from .filters import box_filter, correlate1d, gaussian_kernel
-from .pyramid import farneback_images, farneback_levels, resize_linear
+from .pyramid import farneback_images, resize_linear
 
 # Edge damping applied to the normal-equation inputs within 5 px of the
 # image border, as in OpenCV's FarnebackUpdateMatrices.
@@ -402,21 +402,32 @@ def update_flow_p(Mp: jnp.ndarray, winsize: int, gaussian: bool
                       (g11 * h2 - g12 * h1) * idet], axis=0)
 
 
-def polyexp_pyramid(img: jnp.ndarray, cfg: FlowConfig):
+def polyexp_pyramid(img: jnp.ndarray, cfg: FlowConfig, impl: str = "xla",
+                    interpret: bool = False):
     """Per-level polynomial-expansion planes for one frame (coarsest
     first, matching farneback_levels order). The tracking pipeline caches
     this in its scan carry so each frame's pyramid+polyexp is computed
-    once, not twice (SURVEY.md §3.1 hot-loop note)."""
+    once, not twice (SURVEY.md §3.1 hot-loop note). impl="pallas" computes
+    the planes with the fused Pallas kernel (same caching contract)."""
     imgs = farneback_images(img, cfg.levels, cfg.pyr_scale)
+    if impl == "pallas":
+        from ..kernels.polyexp_pallas import poly_expansion_planar as _pe
+        return tuple(_pe(i, cfg.poly_n, cfg.poly_sigma, interpret=interpret)
+                     for i in imgs)
     dt = jnp.bfloat16 if cfg.bf16_poly else jnp.float32
     return tuple(poly_expansion_p(i, cfg.poly_n, cfg.poly_sigma).astype(dt)
                  for i in imgs)
 
 
 def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
-                            flow0: Optional[jnp.ndarray] = None):
+                            flow0: Optional[jnp.ndarray] = None,
+                            impl: str = "xla", interpret: bool = False):
     """Farneback iterations from precomputed PLANAR polyexp pyramids
-    ((5, lh, lw) per level). Returns (H, W, 2)."""
+    ((5, lh, lw) per level). Returns (H, W, 2). impl="pallas" runs the
+    fused flow-update kernel per iteration (warp stays in XLA, SURVEY.md
+    §7 gather policy)."""
+    if impl == "pallas":
+        from ..kernels.flow_update_pallas import flow_update as _fu
     flow_p = None
     for li in range(len(Rs_a)):
         R0p, R1p = Rs_a[li], Rs_b[li]
@@ -431,8 +442,14 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
         else:
             flow_p = resize_linear(flow_p, lh, lw) * (1.0 / cfg.pyr_scale)
         for _ in range(cfg.iterations):
-            Mp = update_matrices_p(R0p, R1p, flow_p, fast_warp=cfg.fast_warp)
-            flow_p = update_flow_p(Mp, cfg.winsize, cfg.gaussian_win)
+            if impl == "pallas":
+                R1wp = _warp_poly_planar(R1p, flow_p)
+                flow_p = _fu(R0p, R1wp, flow_p, cfg.winsize,
+                             cfg.gaussian_win, interpret=interpret)
+            else:
+                Mp = update_matrices_p(R0p, R1p, flow_p,
+                                       fast_warp=cfg.fast_warp)
+                flow_p = update_flow_p(Mp, cfg.winsize, cfg.gaussian_win)
     return jnp.moveaxis(flow_p, 0, -1)
 
 
@@ -445,43 +462,7 @@ def farneback(prev: jnp.ndarray, nxt: jnp.ndarray, cfg: FlowConfig,
     identical numerics; the bilinear coefficient warp stays in XLA either
     way (SURVEY.md §7 gather policy).
     """
-    h, w = prev.shape[-2], prev.shape[-1]
-    use_pallas = impl == "pallas"
-    if not use_pallas:
-        # planar XLA path (full-lane layout; see planar section below)
-        Rs_a = polyexp_pyramid(prev, cfg)
-        Rs_b = polyexp_pyramid(nxt, cfg)
-        return farneback_from_pyramids(Rs_a, Rs_b, cfg, flow0=flow0)
-    plan = farneback_levels(h, w, cfg.levels, cfg.pyr_scale)
-    imgs_a = farneback_images(prev, cfg.levels, cfg.pyr_scale)
-    imgs_b = farneback_images(nxt, cfg.levels, cfg.pyr_scale)
-    from ..kernels.flow_update_pallas import flow_update as _fu
-    from ..kernels.polyexp_pallas import poly_expansion_planar as _pe
-
-    flow = None
-    for li, (k, lh, lw, _sigma, _ks) in enumerate(plan):
-        ia, ib = imgs_a[li], imgs_b[li]
-        if flow is None:
-            if flow0 is not None:
-                flow = resize_linear(flow0, lh, lw) * (cfg.pyr_scale ** k)
-            else:
-                flow = jnp.zeros((lh, lw, 2), jnp.float32)
-        else:
-            flow = resize_linear(flow, lh, lw) * (1.0 / cfg.pyr_scale)
-
-        if use_pallas:
-            R0p = _pe(ia, cfg.poly_n, cfg.poly_sigma, interpret=interpret)
-            R1p = _pe(ib, cfg.poly_n, cfg.poly_sigma, interpret=interpret)
-            flow_p = jnp.moveaxis(flow, -1, 0)
-            for _ in range(cfg.iterations):
-                R1wp = _warp_poly_planar(R1p, flow_p)
-                flow_p = _fu(R0p, R1wp, flow_p, cfg.winsize,
-                             cfg.gaussian_win, interpret=interpret)
-            flow = jnp.moveaxis(flow_p, 0, -1)
-        else:
-            R0 = poly_expansion(ia, cfg.poly_n, cfg.poly_sigma)
-            R1 = poly_expansion(ib, cfg.poly_n, cfg.poly_sigma)
-            for _ in range(cfg.iterations):
-                M = update_matrices(R0, R1, flow, fast_warp=cfg.fast_warp)
-                flow = update_flow(M, cfg.winsize, cfg.gaussian_win)
-    return flow
+    Rs_a = polyexp_pyramid(prev, cfg, impl=impl, interpret=interpret)
+    Rs_b = polyexp_pyramid(nxt, cfg, impl=impl, interpret=interpret)
+    return farneback_from_pyramids(Rs_a, Rs_b, cfg, flow0=flow0,
+                                   impl=impl, interpret=interpret)

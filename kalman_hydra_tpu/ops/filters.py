@@ -12,11 +12,17 @@ cv2.BORDER_REPLICATE (numpy mode="edge").
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
 _NP_MODE = {"reflect101": "reflect", "replicate": "edge"}
+
+# KH_BOX_SPLIT=0 disables the factored 3xA box decomposition (A/B knob for
+# hardware timing; results are identical up to fp regrouping)
+_BOX_SPLIT3 = os.environ.get("KH_BOX_SPLIT", "1") == "1"
 
 # OpenCV getGaussianKernel fixed small kernels for sigma <= 0
 _SMALL_GAUSSIAN = {
@@ -123,7 +129,13 @@ def box_filter(x: jnp.ndarray, size: int, axis: int,
     axis = axis % x.ndim
     xp = pad1d(x, r, r, axis, border)
     n = x.shape[axis]
-    if size <= 15:
+    if size >= 9 and size % 3 == 0 and _BOX_SPLIT3:
+        # factored split: box(3a) = box3 then a strided box_a with step 3
+        # (exact regrouping of the sum) — 3 + a shifted reads instead of
+        # 3a, i.e. ~half the HBM traffic for the winsize-15 Farneback
+        # smoothing sweeps (the dominant non-warp cost at 1080p)
+        summed = _box_split3(xp, size, n, axis, x.ndim)
+    elif size <= 15:
         # accumulate in f32 even for bf16 inputs: reads stay half-width,
         # the running sum keeps full precision
         summed = None
@@ -136,6 +148,25 @@ def box_filter(x: jnp.ndarray, size: int, axis: int,
         cs = jnp.cumsum(xp, axis=axis, dtype=jnp.float32)
         summed = _box_from_cumsum(cs, size, n, axis, x.ndim)
     return summed / size if normalize else summed
+
+
+def _box_split3(xp, size, n, axis, ndim):
+    """box(size=3a) on pre-padded input as box3 -> stride-3 box_a."""
+    a = size // 3
+    m = n + size - 3           # box3 output length needed by stage 2
+    s3 = None
+    for k in range(3):
+        sl = [slice(None)] * ndim
+        sl[axis] = slice(k, k + m)
+        t = xp[tuple(sl)].astype(jnp.float32)
+        s3 = t if s3 is None else s3 + t
+    out = None
+    for j in range(a):
+        sl = [slice(None)] * ndim
+        sl[axis] = slice(3 * j, 3 * j + n)
+        t = s3[tuple(sl)]
+        out = t if out is None else out + t
+    return out
 
 
 def _box_from_cumsum(cs, size, n, axis, ndim):

@@ -104,6 +104,129 @@ def _track_point_level(img_a, img_b, gx, gy, pt, guess, cfg: FlowConfig):
     return guess, ok, min_eig
 
 
+def _gather_blocks(imgs: jnp.ndarray, by: jnp.ndarray, bx: jnp.ndarray,
+                   size: int) -> jnp.ndarray:
+    """Batched (K, C, size, size) block extraction from (C, Hp, Wp) images
+    at per-point integer bases — TPU-native gather: one ROW gather (cheap,
+    per-index bound on K*size row ids) + a one-hot column contraction on
+    the MXU. Replaces K*size^2 scalar gather indices / K dynamic-slices
+    (the sparse-LK bottleneck: ~1 us per slice dispatch)."""
+    C, H, W = imgs.shape
+    iy = jnp.clip(by[:, None] + jnp.arange(size)[None, :], 0, H - 1)
+    rows = imgs[:, iy]                                    # (C, K, size, W)
+    ix = jnp.clip(bx[:, None] + jnp.arange(size)[None, :], 0, W - 1)
+    sel = (ix[:, :, None] == jnp.arange(W)[None, None, :]).astype(imgs.dtype)
+    out = jnp.einsum("cksw,ktw->kcst", rows, sel,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out                                            # (K, C, size, size)
+
+
+def _bilinear_shift(blk: jnp.ndarray, fx, fy, out: int) -> jnp.ndarray:
+    """(..., out+1, out+1) block -> (..., out, out) patch at fraction
+    (fx, fy) via the 4 static corner shifts (no gathers)."""
+    return (blk[..., :out, :out] * (1 - fx) * (1 - fy)
+            + blk[..., :out, 1:out + 1] * fx * (1 - fy)
+            + blk[..., 1:out + 1, :out] * (1 - fx) * fy
+            + blk[..., 1:out + 1, 1:out + 1] * fx * fy)
+
+
+def _select_subblock(blk: jnp.ndarray, dy, dx, size: int) -> jnp.ndarray:
+    """(B, B) block -> (size, size) sub-block at traced integer offset
+    (dy, dx) in [0, B-size], via masked sums over the static shifts
+    (select-sum: VPU work instead of a dynamic-slice dispatch)."""
+    B = blk.shape[-1]
+    nshift = B - size + 1
+    rows = None
+    for i in range(nshift):
+        t = jnp.where(dy == i, blk[i:i + size, :], 0.0)
+        rows = t if rows is None else rows + t
+    out = None
+    for j in range(nshift):
+        t = jnp.where(dx == j, rows[:, j:j + size], 0.0)
+        out = t if out is None else out + t
+    return out
+
+
+def _track_point_level_block(blk_b, patch_a, pgx, pgy, base, guess,
+                             cfg: FlowConfig):
+    """LK iterations for one point with frame B's halo'd block in hand.
+
+    blk_b: (Bb, Bb) block of the next frame whose top-left maps to padded
+    coords `base`; patch_a/pgx/pgy: (w, w) resolved template/gradient
+    patches. Per-iteration displacement is clamped to the block (the
+    lk_block_halo semantic bound, mirroring fast_warp). Returns
+    (new_guess, valid, min_eig).
+    """
+    w = cfg.lk_winsize
+    half = (w - 1) * 0.5
+    D2 = blk_b.shape[0] - (w + 1)          # = 2 * halo
+
+    g11 = jnp.sum(pgx * pgx)
+    g12 = jnp.sum(pgx * pgy)
+    g22 = jnp.sum(pgy * pgy)
+    min_eig = ((g11 + g22) - jnp.sqrt((g11 - g22) ** 2 + 4.0 * g12 ** 2)) \
+        * 0.5 / (w * w)
+    det = g11 * g22 - g12 * g12
+    ok = (min_eig > cfg.lk_min_eig) & (det > 1e-12)
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    eps2 = jnp.float32(cfg.lk_eps * cfg.lk_eps)
+
+    def body(_i, carry):
+        g, active = carry
+        # patch top-left offset inside the block, clamped to the halo
+        ox = jnp.clip(g[0] - half - base[0], 0.0, float(D2))
+        oy = jnp.clip(g[1] - half - base[1], 0.0, float(D2))
+        dx_i = jnp.floor(ox).astype(jnp.int32)
+        dy_i = jnp.floor(oy).astype(jnp.int32)
+        sub = _select_subblock(blk_b, dy_i, dx_i, w + 1)
+        patch_b = _bilinear_shift(sub, ox - dx_i, oy - dy_i, w)
+        diff = patch_b - patch_a
+        b1 = jnp.sum(diff * pgx)
+        b2 = jnp.sum(diff * pgy)
+        dxs = -(g22 * b1 - g12 * b2) * inv_det
+        dys = -(g11 * b2 - g12 * b1) * inv_det
+        d = jnp.stack([dxs, dys])
+        g_new = jnp.where(active, g + d, g)
+        still = active & (jnp.sum(d * d) > eps2)
+        return g_new, still
+
+    guess, _ = lax.fori_loop(0, cfg.lk_max_iter, body, (guess, ok))
+    return guess, ok, min_eig
+
+
+def _lk_level_batched(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
+    """One pyramid level for ALL points: batched block extraction + vmapped
+    gather-free iterations (cfg.lk_block_halo > 0 path)."""
+    w = cfg.lk_winsize
+    half = (w - 1) * 0.5
+    D = cfg.lk_block_halo
+    Bb = w + 1 + 2 * D
+
+    Hp, Wp = pb.shape
+
+    # template/gradient patches at the (fixed) point location
+    abase_x = jnp.floor(pt_l[:, 0] - half).astype(jnp.int32)
+    abase_y = jnp.floor(pt_l[:, 1] - half).astype(jnp.int32)
+    stack_a = jnp.stack([pa, pgx, pgy], axis=0)
+    blks_a = _gather_blocks(stack_a, abase_y, abase_x, w + 1)  # (K,3,w+1,w+1)
+    fax = (pt_l[:, 0] - half - abase_x)[:, None, None, None]
+    fay = (pt_l[:, 1] - half - abase_y)[:, None, None, None]
+    patches = _bilinear_shift(blks_a, fax, fay, w)             # (K,3,w,w)
+
+    # frame-B halo'd blocks around the initial guess (bases clamped so the
+    # block — and therefore `base` — always matches the gathered rows)
+    bbase_x = jnp.clip(jnp.floor(guess[:, 0] - half).astype(jnp.int32) - D,
+                       0, Wp - Bb)
+    bbase_y = jnp.clip(jnp.floor(guess[:, 1] - half).astype(jnp.int32) - D,
+                       0, Hp - Bb)
+    blks_b = _gather_blocks(pb[None], bbase_y, bbase_x, Bb)[:, 0]  # (K,Bb,Bb)
+    base = jnp.stack([bbase_x, bbase_y], axis=-1).astype(jnp.float32)
+
+    track = jax.vmap(lambda bb, p3, bs, g: _track_point_level_block(
+        bb, p3[0], p3[1], p3[2], bs, g, cfg))
+    return track(blks_b, patches, base, guess)
+
+
 def lk_pyramid(img: jnp.ndarray, cfg: FlowConfig):
     """Pyramid + Scharr gradients for one frame — cacheable per frame
     (the pipeline carries the previous frame's tuple in its scan carry so
@@ -144,9 +267,13 @@ def lk_sparse(prev: jnp.ndarray, nxt: jnp.ndarray, pts: jnp.ndarray,
         guess_p = jnp.clip(guess, -float(pad // 2),
                            jnp.asarray([w - 1.0 + pad // 2,
                                         h - 1.0 + pad // 2])) + pad
-        track = jax.vmap(
-            lambda p, g: _track_point_level(pa, pb, pgx, pgy, p, g, cfg))
-        guess_p, ok, _eig = track(pt_l, guess_p)
+        if cfg.lk_block_halo > 0:
+            guess_p, ok, _eig = _lk_level_batched(pa, pb, pgx, pgy,
+                                                  pt_l, guess_p, cfg)
+        else:
+            track = jax.vmap(
+                lambda p, g: _track_point_level(pa, pb, pgx, pgy, p, g, cfg))
+            guess_p, ok, _eig = track(pt_l, guess_p)
         guess = guess_p - pad
         # in-bounds check at base level
         if lvl == 0:

@@ -89,3 +89,37 @@ def test_lk_dense_fast_warp_matches_exact(pair128):
                                                   jnp.asarray(b)))
     epe = np.linalg.norm(exact - fast, axis=-1)
     assert epe[8:-8, 8:-8].mean() < 0.02
+
+
+def test_lk_sparse_block_halo_matches_exact(pair128):
+    """lk_block_halo > 0 (batched block extraction + gather-free in-block
+    iterations) must match the exact per-iteration-slice path when the
+    per-level displacement fits the halo."""
+    a, b, _ = pair128
+    pts = np.stack(np.meshgrid(np.arange(24, 105, 16),
+                               np.arange(24, 105, 16)), -1)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    exact_pts, exact_st = L.lk_sparse(jnp.asarray(a), jnp.asarray(b),
+                                      jnp.asarray(pts), FlowConfig(levels=3))
+    fast_pts, fast_st = L.lk_sparse(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts),
+        FlowConfig(levels=3, lk_block_halo=8))
+    np.testing.assert_array_equal(np.asarray(exact_st), np.asarray(fast_st))
+    m = np.asarray(exact_st)
+    assert np.abs(np.asarray(fast_pts)[m]
+                  - np.asarray(exact_pts)[m]).max() < 0.02
+
+
+def test_lk_sparse_block_halo_matches_cv2(pair128):
+    a, b, _ = pair128
+    cfg = FlowConfig(levels=3, lk_block_halo=8)
+    pts = np.stack(np.meshgrid(np.arange(24, 105, 16),
+                               np.arange(24, 105, 16)), -1)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    ref_pts, ref_st = ip.lk_sparse(a, b, pts, FlowConfig(levels=3))
+    got_pts, got_st = L.lk_sparse(jnp.asarray(a), jnp.asarray(b),
+                                  jnp.asarray(pts), cfg)
+    got_pts, got_st = np.asarray(got_pts), np.asarray(got_st)
+    assert (ref_st.astype(bool) == got_st).mean() > 0.95
+    m = ref_st.astype(bool) & got_st
+    assert np.abs(got_pts[m] - ref_pts[m]).max() < 0.05
