@@ -73,13 +73,17 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
     fast_warp = int(os.environ.get("KH_FAST_WARP", "8"))
     bf16 = os.environ.get("KH_BF16_POLY", "1") == "1"
     batch = int(os.environ.get("KH_BATCH", "1"))
+    lk_halo = int(os.environ.get("KH_LK_HALO", "8"))
     cfg = RunConfig(
         # cv2-default Farneback params (15/5/3, poly 5/1.1); fast_warp
         # replaces the TPU-hostile gather warp with the select-sum warp
         # (<0.01 px EPE delta, PARITY.md) — set KH_FAST_WARP=0 for exact,
-        # KH_BF16_POLY=0 for f32 planes, KH_BATCH=N for vmapped clips
+        # KH_BF16_POLY=0 for f32 planes, KH_BATCH=N for vmapped clips,
+        # KH_LK_HALO=0 for exact per-iteration sparse-LK slices
         flow=FlowConfig(method=flow_method, fast_warp=fast_warp,
-                        bf16_poly=bf16 and flow_method == "farneback"),
+                        bf16_poly=bf16 and flow_method == "farneback",
+                        lk_block_halo=(lk_halo if flow_method == "lk_sparse"
+                                       else 0)),
         ekf=EkfConfig(state_dim=state_dim),
         tracks=TrackConfig(num_tracks=num_tracks,
                            corner_pool=max(256, num_tracks)))
@@ -132,6 +136,106 @@ def _fetch_time(comp, *args):
     return time.time() - t0
 
 
+def bench_decode_in_loop(h=1080, w=1920, t=17, num_tracks=1024,
+                         video_path=None):
+    """Config-4 contract (BASELINE.json:10): decode -> pyramid -> flow ->
+    EKF -> export, with DECODE IN THE LOOP — the decode-bound vs
+    compute-bound split SURVEY.md §7 requires in bench output.
+
+    Writes a real mp4, streams it through the C++ ring loader (or the
+    cv2 FrameStream fallback), and times three passes:
+      decode_ms         per-frame pure host decode
+      h2d_ms            per-frame host->device transfer (pre-decoded RAM)
+      fps_end_to_end    decode + H2D + jitted per-frame step, wall clock
+                        (sync via one scalar checksum fetch at the end —
+                        per-frame D2H is excluded by design: trajectories
+                        leave once per clip, BASELINE.json:5)
+    """
+    import tempfile
+    import jax
+    import jax.numpy as jnp
+    from kalman_hydra_tpu import pipeline as pl
+    from kalman_hydra_tpu.config import (EkfConfig, FlowConfig, RunConfig,
+                                         TrackConfig)
+    from kalman_hydra_tpu.io import video as vio
+    from kalman_hydra_tpu.io.native_loader import (NativeFrameStream,
+                                                   available as native_ok)
+
+    cfg = RunConfig(
+        flow=FlowConfig(fast_warp=int(os.environ.get("KH_FAST_WARP", "8")),
+                        bf16_poly=os.environ.get("KH_BF16_POLY", "1") == "1"),
+        ekf=EkfConfig(state_dim=6),
+        tracks=TrackConfig(num_tracks=num_tracks,
+                           corner_pool=max(256, num_tracks)))
+
+    frames, _ = make_clip(t, h, w)
+    if frames.ndim == 3:
+        frames_bgr = np.repeat(frames[..., None], 3, axis=-1)
+    else:
+        frames_bgr = frames
+    tmp = video_path or os.path.join(tempfile.gettempdir(),
+                                     f"kh_bench_{h}p.mp4")
+    t0 = time.time()
+    vio.write_video(tmp, frames_bgr)
+    log(f"wrote {tmp} ({t} frames @{h}x{w}): {time.time()-t0:.1f}s")
+
+    def open_stream():
+        if native_ok():
+            return NativeFrameStream(tmp), "native_cpp_ring"
+        return vio.FrameStream(tmp), "cv2_fallback"
+
+    # --- pass 1: pure decode ---
+    stream, loader = open_stream()
+    t0 = time.time()
+    n_dec = sum(1 for _ in stream)
+    decode_s = (time.time() - t0) / max(n_dec, 1)
+    log(f"decode ({loader}): {decode_s*1e3:.1f} ms/frame x {n_dec}")
+
+    # --- pass 2: H2D from pre-decoded RAM (relay H2D is healthy) ---
+    host_frames = [np.ascontiguousarray(f) for f in open_stream()[0]]
+    d = jnp.asarray(host_frames[0])           # warm the transfer path
+    _ = float(np.asarray(jnp.sum(d[:2, :2, 0])))
+    t0 = time.time()
+    last = None
+    for f in host_frames:
+        last = jnp.asarray(f)
+    _ = float(np.asarray(jnp.sum(last[:2, :2, 0])))   # sync via tiny scalar
+    h2d_s = (time.time() - t0) / len(host_frames)
+    log(f"H2D: {h2d_s*1e3:.1f} ms/frame")
+
+    # --- pass 3: end-to-end decode + H2D + per-frame jitted step ---
+    raw_step = pl.make_step(cfg)
+    step_fn = jax.jit(lambda c, f: raw_step(c, f))
+    init_fn = jax.jit(pl.init_from_frame, static_argnames="cfg")
+    # warm compiles outside the timed region
+    carry = init_fn(jnp.asarray(host_frames[0]), cfg)
+    carry, _ = step_fn(carry, jnp.asarray(host_frames[1]))
+    _ = float(np.asarray(jnp.sum(carry.tracks.x) * 1e-6))
+
+    stream, loader = open_stream()
+    it = iter(stream)
+    t0 = time.time()
+    carry = init_fn(jnp.asarray(next(it)), cfg)
+    n = 1
+    for frame in it:
+        carry, _out = step_fn(carry, jnp.asarray(frame))
+        n += 1
+    _ = float(np.asarray(jnp.sum(carry.tracks.x) * 1e-6))  # sync
+    e2e_s = time.time() - t0
+    fps_e2e = (n - 1) / e2e_s
+    log(f"end-to-end ({loader}): {fps_e2e:.2f} fps over {n} frames "
+        f"({e2e_s:.2f}s wall)")
+    if not video_path:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+    return {"fps_end_to_end": round(fps_e2e, 3),
+            "decode_ms_per_frame": round(decode_s * 1e3, 2),
+            "h2d_ms_per_frame": round(h2d_s * 1e3, 2),
+            "decode_loader": loader}
+
+
 def bench_epe(h=256, w=256):
     """Accuracy side of the metric: EPE of device Farneback vs cv2."""
     import jax
@@ -178,9 +282,19 @@ def main():
     ap.add_argument("--config", type=int, default=0,
                     help="BASELINE config 1-5; 0 = headline 1080p")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--sparse", action="store_true",
+                    help="sparse pyrLK pipeline mode at 1080p (1024 tracks)")
     args = ap.parse_args()
+    if args.sparse:
+        fps = _retry(lambda: bench_fused_pipeline(
+            1080, 1920, t=9, num_tracks=1024, flow_method="lk_sparse"))
+        print(json.dumps({"metric": "fps_per_chip_1080p_sparse_lk",
+                          "value": round(fps, 3), "unit": "frames/s/chip",
+                          "vs_baseline": None}), flush=True)
+        return
 
     epe = None
+    extra = {}
     try:
         if args.quick:
             fps = _retry(lambda: bench_fused_pipeline(128, 128, t=5,
@@ -197,8 +311,16 @@ def main():
                 epe = _retry(lambda: bench_epe(256, 256), attempts=2)
             except Exception as e:  # EPE is auxiliary; keep the fps number
                 log(f"EPE stage skipped: {e}")
+            try:
+                # the metric definition (BASELINE.json:2) pairs 1080p fps
+                # with EPE at the SAME resolution — emit it in the JSON,
+                # not just BASELINE.md prose
+                extra["epe_px_1080p"] = round(
+                    _retry(lambda: bench_epe(1080, 1920), attempts=2), 5)
+            except Exception as e:
+                log(f"1080p EPE stage skipped: {e}")
         else:
-            fps, epe, metric, base = bench_config(args.config)
+            fps, epe, metric, base, extra = bench_config(args.config)
     except Exception as e:  # noqa: BLE001
         log(f"bench failed terminally: {type(e).__name__}: {str(e)[:300]}")
         print(json.dumps({"metric": "bench_error", "value": 0.0,
@@ -210,6 +332,7 @@ def main():
     out = {"metric": metric, "value": round(fps, 3), "unit": "frames/s/chip",
            "vs_baseline": round(fps / base, 2) if base else None,
            "epe_px": round(epe, 5) if epe is not None else None}
+    out.update(extra)
     print(json.dumps(out), flush=True)
 
 
@@ -220,16 +343,24 @@ def bench_config(n):
         # single frame-pair LK flow + 4-state EKF, 256x256 (BASELINE.json:7)
         fps = bench_fused_pipeline(256, 256, t=9, num_tracks=256, state_dim=4,
                                    flow_method="lk_dense")
-        return fps, bench_epe(256, 256), "fps_per_chip_cfg1_256p", None
+        return fps, bench_epe(256, 256), "fps_per_chip_cfg1_256p", None, {}
     if n == 2:
         fps = bench_fused_pipeline(480, 854, t=9, num_tracks=256)
-        return fps, bench_epe(256, 256), "fps_per_chip_cfg2_480p", 11.4
+        return fps, bench_epe(256, 256), "fps_per_chip_cfg2_480p", 11.4, {}
     if n == 3:
         fps = bench_fused_pipeline(720, 1280, t=9, num_tracks=1024)
-        return fps, None, "fps_per_chip_cfg3_720p_1ktracks", None
+        return fps, None, "fps_per_chip_cfg3_720p_1ktracks", None, {}
     if n == 4:
+        # BASELINE.json:10 is decode->pyramid->flow->EKF->export: report the
+        # device number AND the end-to-end number with decode in the loop
         fps = bench_fused_pipeline(1080, 1920, t=9, num_tracks=1024)
-        return fps, bench_epe(256, 256), "fps_per_chip_cfg4_1080p", 1.45
+        extra = {}
+        try:
+            extra = bench_decode_in_loop()
+        except Exception as e:  # noqa: BLE001
+            log(f"decode-in-loop stage skipped: {type(e).__name__}: {e}")
+        return (fps, bench_epe(256, 256), "fps_per_chip_cfg4_1080p", 1.45,
+                extra)
     if n == 5:
         from jax import lax
         from kalman_hydra_tpu.config import (FlowConfig, RunConfig,
@@ -260,11 +391,17 @@ def bench_config(n):
                 frames_d, R).compile()
             np.asarray(comp(frames_d))
             times[R] = min(_fetch_time(comp, frames_d) for _ in range(2))
-        marginal = max((times[3] - times[1]) / 2.0, times[3] / 3.0 * 0.1)
+        extra = {}
+        marginal = (times[3] - times[1]) / 2.0
+        if marginal <= 0:
+            # repeat-differencing collapsed (relay noise): fall back to the
+            # honest mean-per-run time and flag it, never inflate
+            marginal = times[3] / 3.0
+            extra["timing_degraded"] = True
         fps = (t_frames - 1) / marginal
         log(f"cfg5 long-horizon+RTS+reinit: {marginal*1e3:.1f} ms/clip "
             f"=> {fps:.2f} fps")
-        return fps, None, "fps_per_chip_cfg5_rts", None
+        return fps, None, "fps_per_chip_cfg5_rts", None, extra
     raise SystemExit(f"unknown config {n}")
 
 
