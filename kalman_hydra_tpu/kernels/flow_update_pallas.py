@@ -41,12 +41,18 @@ def _damp_vec(abs_idx, limit):
     return scale
 
 
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
 def _flow_update_kernel(th: int, w: int, h: int, bw: int, weights,
                         r0_hbm, r1_hbm, fl_hbm, out_ref,
                         r0_s, r1_s, fl_s, sem):
     i = pl.program_id(0)
-    rows = th + 2 * bw
-    wp = w + 2 * bw
+    # Mosaic requires HBM->VMEM slice extents 8-aligned on the sublane dim;
+    # the inputs carry enough tail padding for the rounded-up slab
+    rows = _round8(th + 2 * bw)
+    wp = ((w + 2 * bw + 127) // 128) * 128   # 128-aligned lane extent
     copies = [
         pltpu.make_async_copy(src.at[:, pl.ds(i * th, rows), :], dst,
                               sem.at[slot])
@@ -126,18 +132,21 @@ def flow_update(R0p: jnp.ndarray, R1wp: jnp.ndarray, flow_p: jnp.ndarray,
         kern = np.full(2 * bw + 1, 1.0 / (2 * bw + 1), dtype=np.float64)
     weights = tuple(np.float32(v) for v in kern)
 
-    th = 64 if h >= 64 else h
+    th = 64 if h >= 64 else ((h + 7) // 8) * 8
     h_pad = ((h + th - 1) // th) * th
+    rows = _round8(th + 2 * bw)       # 8-aligned DMA slab (see kernel)
+    extra = rows - (th + 2 * bw)
+
+    wp = ((w + 2 * bw + 127) // 128) * 128   # 128-aligned lane extent
 
     def prep(x):
         x = jnp.pad(x, ((0, 0), (bw, bw), (bw, bw)), mode="edge")
-        return jnp.pad(x, ((0, 0), (0, h_pad - h), (0, 0)))
+        return jnp.pad(x, ((0, 0), (0, h_pad - h + extra),
+                           (0, wp - (w + 2 * bw))))
 
     r0 = prep(R0p)
     r1 = prep(R1wp)
     fl = prep(flow_p)
-    rows = th + 2 * bw
-    wp = w + 2 * bw
 
     out = pl.pallas_call(
         functools.partial(_flow_update_kernel, th, w, h, bw, weights),

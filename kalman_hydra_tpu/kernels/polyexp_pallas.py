@@ -23,11 +23,17 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.farneback import _poly_inv_gram
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def _polyexp_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
                     th: int, w_out: int,
                     in_hbm, out_ref, scratch, sem):
     i = pl.program_id(0)
-    rows_in = th + 2 * n
+    # Mosaic: HBM->VMEM slice extents must be (8, 128)-aligned; the input
+    # carries matching tail padding
+    rows_in = _round_up(th + 2 * n, 8)
     dma = pltpu.make_async_copy(
         in_hbm.at[pl.ds(i * th, rows_in), :], scratch, sem)
     dma.start()
@@ -87,10 +93,13 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
     xg = tuple(np.float32(v) for v in (i * g))
     xxg = tuple(np.float32(v) for v in (i * i * g))
 
-    th = min(128, h)
+    th = min(128, _round_up(h, 8))
     h_pad = ((h + th - 1) // th) * th
+    rows_in = _round_up(th + 2 * n, 8)
+    wp = _round_up(w + 2 * n, 128)
     xp = jnp.pad(img, ((n, n), (n, n)), mode="edge")      # replicate
-    xp = jnp.pad(xp, ((0, h_pad - h), (0, 0)))
+    xp = jnp.pad(xp, ((0, h_pad - h + rows_in - (th + 2 * n)),
+                      (0, wp - (w + 2 * n))))
 
     out = pl.pallas_call(
         functools.partial(_polyexp_kernel, n, gt, xg, xxg,
@@ -102,7 +111,7 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, h_pad, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * n, w + 2 * n), jnp.float32),
+            pltpu.VMEM((rows_in, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

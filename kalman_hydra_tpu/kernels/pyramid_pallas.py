@@ -37,17 +37,17 @@ def _pyr_kernel(th_out: int, w_out: int,
 
     s = scratch[:]                       # (2*th+4, wp) with wp = 2*w_out+4
     # vertical blur at even rows only: v[r] = sum_k w_k s[2r+k]
+    # (stride-2 slices: reshape-based decimation is an unsupported Mosaic
+    # shape cast)
     v = None
     for k, wk in enumerate(_W5):
-        sl = s[k:k + 2 * th_out:1, :]
-        sl = sl.reshape(th_out, 2, s.shape[1])[:, 0, :]
+        sl = jax.lax.slice(s, (k, 0), (k + 2 * th_out, s.shape[1]), (2, 1))
         term = wk * sl
         v = term if v is None else v + term
     # horizontal blur at even cols: h[c] = sum_k w_k v[:, 2c+k]
     out = None
     for k, wk in enumerate(_W5):
-        sl = v[:, k:k + 2 * w_out]
-        sl = sl.reshape(th_out, w_out, 2)[:, :, 0]
+        sl = jax.lax.slice(v, (0, k), (th_out, k + 2 * w_out), (1, 2))
         term = wk * sl
         out = term if out is None else out + term
     out_ref[:] = out

@@ -1,0 +1,130 @@
+"""Hardware verification of the Pallas kernels (run when Mosaic works).
+
+Compiles each Pallas kernel on the real TPU and compares against its XLA
+twin computed on the same device. SIGALRM hard-kill bounds a hung remote
+compile. Usage: python tools/pallas_hw_test.py [kernel ...] [--timeout S]
+
+Kernels: pyramid polyexp flow_update ekf lk
+"""
+
+import os
+import signal
+import sys
+import time
+
+
+def _alarm(_s, _f):
+    print("PALLAS HW TEST: TIMED OUT", flush=True)
+    os._exit(2)
+
+
+def check(name, got, ref, tol):
+    import numpy as np
+    err = float(np.abs(np.asarray(got) - np.asarray(ref)).max())
+    ok = err < tol
+    print(f"{name}: {'OK' if ok else 'FAIL'} max_err={err:.2e} tol={tol}",
+          flush=True)
+    return ok
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    timeout = 600
+    for a in sys.argv[1:]:
+        if a.startswith("--timeout"):
+            timeout = int(a.split("=")[1])
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(timeout)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+    import numpy as np
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from kalman_hydra_tpu.config import EkfConfig, FlowConfig
+    from kalman_hydra_tpu.io.synthetic import translating_pair
+
+    which = set(args) or {"pyramid", "polyexp", "flow_update", "ekf", "lk"}
+    print(f"device: {jax.devices()[0]}; kernels: {sorted(which)}",
+          flush=True)
+    a, b, _ = translating_pair(height=270, width=480, shift=(2.0, -1.3))
+    a_d, b_d = jnp.asarray(a), jnp.asarray(b)
+    ok = True
+
+    if "pyramid" in which:
+        from kalman_hydra_tpu.kernels.pyramid_pallas import pyr_down
+        from kalman_hydra_tpu.ops.pyramid import pyr_down as pyr_down_xla
+        t0 = time.time()
+        got = pyr_down(a_d)
+        ref = pyr_down_xla(a_d)
+        ok &= check(f"pyramid ({time.time()-t0:.0f}s)", got, ref, 1e-3)
+
+    if "polyexp" in which:
+        from kalman_hydra_tpu.kernels.polyexp_pallas import (
+            poly_expansion_planar)
+        from kalman_hydra_tpu.ops.farneback import poly_expansion_p
+        t0 = time.time()
+        got = poly_expansion_planar(a_d, 5, 1.1)
+        ref = poly_expansion_p(a_d, 5, 1.1)
+        ok &= check(f"polyexp ({time.time()-t0:.0f}s)", got, ref, 1e-2)
+
+    if "flow_update" in which:
+        from kalman_hydra_tpu.kernels.flow_update_pallas import flow_update
+        from kalman_hydra_tpu.ops.farneback import (
+            poly_expansion_p, _warp_poly_planar, update_matrices_p,
+            update_flow_p)
+        R0 = poly_expansion_p(a_d, 5, 1.1)
+        R1 = poly_expansion_p(b_d, 5, 1.1)
+        fl0 = jnp.zeros((2,) + a.shape, jnp.float32)
+        R1w = _warp_poly_planar(R1, fl0)
+        t0 = time.time()
+        got = flow_update(R0, R1w, fl0, 15, False)
+        ref = update_flow_p(update_matrices_p(R0, R1, fl0), 15, False)
+        ok &= check(f"flow_update ({time.time()-t0:.0f}s)", got, ref, 1e-3)
+
+    if "ekf" in which:
+        from kalman_hydra_tpu.kernels.ekf_pallas import ekf_fused_step
+        from kalman_hydra_tpu.models import dynamics as dyn
+        from kalman_hydra_tpu.models import ekf as jekf
+        cfg = EkfConfig(state_dim=6)
+        rng = np.random.default_rng(0)
+        K = 600
+        F = dyn.transition(cfg)
+        Q = dyn.process_noise(cfg)
+        H = dyn.position_H(cfg)
+        R = (cfg.r * np.eye(2)).astype(np.float32)
+        x = rng.normal(size=(K, 6)).astype(np.float32)
+        P = np.broadcast_to(np.eye(6, dtype=np.float32) * 3,
+                            (K, 6, 6)).copy()
+        z = rng.normal(size=(K, 2)).astype(np.float32) * 3
+        xp, Pp = jekf.predict(jnp.asarray(x), jnp.asarray(P),
+                              jnp.asarray(F), jnp.asarray(Q))
+        y = jnp.asarray(z) - xp[:, 0:2]
+        xr, Pr, nr = jekf.update(xp, Pp, y, jnp.asarray(H), jnp.asarray(R))
+        t0 = time.time()
+        xg, Pg, ng = ekf_fused_step(jnp.asarray(x), jnp.asarray(P), y,
+                                    jnp.asarray(H), F, Q, cfg.r)
+        ok &= check(f"ekf.x ({time.time()-t0:.0f}s)", xg, xr, 1e-3)
+        ok &= check("ekf.P", Pg, Pr, 1e-3)
+
+    if "lk" in which:
+        from kalman_hydra_tpu.kernels.lk_pallas import lk_sparse as lk_pl
+        from kalman_hydra_tpu.ops.lk import lk_sparse as lk_xla
+        cfg = FlowConfig(levels=3)
+        pts = np.stack(np.meshgrid(np.arange(40, 440, 40),
+                                   np.arange(40, 230, 40)), -1)
+        pts = pts.reshape(-1, 2).astype(np.float32)
+        t0 = time.time()
+        gp, gs = lk_pl(a_d, b_d, jnp.asarray(pts), cfg)
+        rp, rs = lk_xla(a_d, b_d, jnp.asarray(pts), cfg)
+        m = np.asarray(gs) & np.asarray(rs)
+        ok &= check(f"lk ({time.time()-t0:.0f}s)",
+                    np.asarray(gp)[m], np.asarray(rp)[m], 0.05)
+
+    print(f"PALLAS HW TEST: {'ALL OK' if ok else 'FAILURES'}", flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
