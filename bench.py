@@ -40,6 +40,33 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def pick_impl() -> str:
+    """Choose the kernel backend for this run.
+
+    KH_IMPL=xla|pallas forces it. Otherwise probe Mosaic in a SUBPROCESS
+    with a hard timeout (a hung remote compile must not take the bench
+    down; the probe runs before this process touches the TPU, so the
+    one-TPU-process rule holds) and use the fused Pallas path when the
+    hardware compiler works — measured 104.8 vs 71.5 fps at 1080p.
+    """
+    forced = os.environ.get("KH_IMPL")
+    if forced:
+        return forced
+    import subprocess
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "mosaic_probe.py")
+    try:
+        rc = subprocess.run([sys.executable, probe, "120"],
+                            capture_output=True, timeout=150).returncode
+    except Exception as e:  # noqa: BLE001
+        log(f"mosaic probe errored ({e}); using XLA path")
+        return "xla"
+    impl = "pallas" if rc == 0 else "xla"
+    log(f"mosaic probe rc={rc} -> impl={impl}")
+    os.environ["KH_IMPL"] = impl       # EPE stage follows the same path
+    return impl
+
+
 def make_clip(t, h, w, seed=0):
     from kalman_hydra_tpu.io.synthetic import moving_blob_clip
     t0 = time.time()
@@ -86,7 +113,8 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
                                        else 0)),
         ekf=EkfConfig(state_dim=state_dim),
         tracks=TrackConfig(num_tracks=num_tracks,
-                           corner_pool=max(256, num_tracks)))
+                           corner_pool=max(256, num_tracks)),
+        impl=pick_impl())
     frames, _truth = make_clip(t, h, w)
     frames_d = jnp.asarray(frames)
     # regular seed grid over the frame interior (num_tracks points)
@@ -166,7 +194,8 @@ def bench_decode_in_loop(h=1080, w=1920, t=17, num_tracks=1024,
                         bf16_poly=os.environ.get("KH_BF16_POLY", "1") == "1"),
         ekf=EkfConfig(state_dim=6),
         tracks=TrackConfig(num_tracks=num_tracks,
-                           corner_pool=max(256, num_tracks)))
+                           corner_pool=max(256, num_tracks)),
+        impl=os.environ.get("KH_IMPL", "xla"))
 
     frames, _ = make_clip(t, h, w)
     if frames.ndim == 3:
@@ -251,10 +280,11 @@ def bench_epe(h=256, w=256):
     cfg = FlowConfig(fast_warp=int(os.environ.get("KH_FAST_WARP", "8")),
                      bf16_poly=os.environ.get("KH_BF16_POLY", "1") == "1")
     ref = ip.farneback(a8, b8, cfg)
+    impl = os.environ.get("KH_IMPL", "xla")
     # compute EPE on device and fetch only the scalar (slow D2H relay)
     epe = float(np.asarray(jax.jit(
         lambda x, y, r: jnp.linalg.norm(
-            farneback(x, y, cfg) - r, axis=-1).mean())(
+            farneback(x, y, cfg, impl=impl) - r, axis=-1).mean())(
         jnp.asarray(a8.astype(np.float32)),
         jnp.asarray(b8.astype(np.float32)), jnp.asarray(ref))))
     log(f"EPE vs OpenCV reference @{h}x{w}: {epe:.5f} px")

@@ -1,0 +1,265 @@
+"""Pallas-TPU FULLY fused Farneback iteration: warp + M + box + solve.
+
+One kernel pass = one complete fine-level flow iteration. Each grid step
+DMAs halo'd slabs of the two (unwarped) polyexp plane stacks and the
+prior flow into VMEM, then does everything on-chip:
+
+  1. select-sum bilinear warp of the R1 planes by the (clamped) prior
+     flow — the same gather-free formulation as
+     ops.farneback._warp_poly_selectsum_p, but on VMEM-resident slabs
+     (the XLA version pays an HBM round trip for every shifted copy);
+  2. averaged-matrix normal equations with OpenCV's border damping
+     (ops.farneback.update_matrices_p);
+  3. separable winsize smoothing (unrolled taps);
+  4. the closed-form 2x2 solve for the new ABSOLUTE flow.
+
+HBM traffic per iteration drops to one halo'd read of (R0, R1, flow) +
+one flow write (~0.2 GB at 1080p) where the XLA pipeline moves ~1.4 GB —
+this is the kernel the round-1 roofline pointed at (BASELINE.md: ~1.8 ms
+bandwidth bound vs 18 ms measured per frame).
+
+Displacement is clamped to +-D (= FlowConfig.fast_warp) per level, the
+documented select-sum semantic bound. Tile height 32 keeps the slab set
+inside the ~16 MB VMEM budget at 1080p (pallas_guide.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.filters import gaussian_kernel
+
+_BORDER = 5
+_BORDER_SCALE = (0.14, 0.14, 0.4472, 0.4472, 0.4472)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _damp_vec(abs_idx, limit):
+    idx = jnp.clip(abs_idx, 0, limit - 1)
+    dist = jnp.minimum(idx, limit - 1 - idx)
+    scale = jnp.ones_like(idx, dtype=jnp.float32)
+    for d in range(_BORDER):
+        scale = jnp.where(dist == d, jnp.float32(_BORDER_SCALE[d]), scale)
+    return scale
+
+
+def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
+                      weights, r0_hbm, r1_hbm, fl_hbm, out_ref,
+                      r0_s, r1_s, fl_s, sem):
+    i = pl.program_id(0)
+    hb = bw + D                       # warp+box halo
+    mrows = th + 2 * bw               # rows where M is needed
+    # +1: the bilinear lower neighbor at the max shift; 8-aligned DMA
+    rows = _round_up(th + 2 * hb + 1, 8)
+    copies = [
+        pltpu.make_async_copy(src.at[:, pl.ds(i * th, rows), :], dst,
+                              sem.at[slot])
+        for (src, dst, slot) in ((r0_hbm, r0_s, 0), (r1_hbm, r1_s, 1),
+                                 (fl_hbm, fl_s, 2))]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    wp = r0_s.shape[2]
+    R1 = r1_s[:].astype(jnp.float32)              # (5, rows, wp)
+    # flow at the M region (slab rows [D, D+mrows))
+    flm = fl_s[:, D:D + mrows, :].astype(jnp.float32)
+    dx = flm[0]
+    dy = flm[1]
+
+    # ---- in-VMEM select-sum bilinear warp of R1 by (dx, dy) ----
+    dxc = jnp.clip(dx, -D, D)
+    dyc = jnp.clip(dy, -D, D)
+    y_idx = jnp.floor(dyc).astype(jnp.int32)
+    x_idx = jnp.floor(dxc).astype(jnp.int32)
+    ay = (dyc - y_idx.astype(jnp.float32))[None]
+    ax = (dxc - x_idx.astype(jnp.float32))[None]
+
+    # fold the bilinear lerp into per-shift weights shared by all 5
+    # planes: v = sum_j wj * R1[j:j+mrows] with
+    # wj = [y_idx == j-D](1-ay) + [y_idx == j-1-D] ay  — one FMA per
+    # shift per plane instead of two where+adds (the warp is VPU-bound)
+    ay2 = ay[0]
+    v = None
+    for j in range(2 * D + 2):
+        wj = jnp.where(y_idx == (j - D), 1.0 - ay2, 0.0)
+        if j >= 1:
+            wj = wj + jnp.where(y_idx == (j - 1 - D), ay2, 0.0)
+        t = wj[None] * R1[:, j:j + mrows, :]
+        v = t if v is None else v + t               # (5, mrows, wp)
+
+    # horizontal: shift within the slab's lane halo. Warped column c
+    # (absolute col c - hb in image coords) reads v at c + x_idx.
+    mcols = w + 2 * bw
+    base = hb - bw
+    xm = x_idx[:, base:base + mcols]
+    axm2 = ax[0, :, base:base + mcols]
+    R1w = None
+    for j in range(2 * D + 2):
+        sh = j - D
+        wj = jnp.where(xm == sh, 1.0 - axm2, 0.0)
+        if j >= 1:
+            wj = wj + jnp.where(xm == sh - 1, axm2, 0.0)
+        t = wj[None] * v[:, :, base + sh:base + sh + mcols]
+        R1w = t if R1w is None else R1w + t        # (5, mrows, mcols)
+
+    # ---- averaged-matrix normal equations (update_matrices_p) ----
+    R0 = r0_s[:, D:D + mrows, hb - bw:hb - bw + w + 2 * bw].astype(
+        jnp.float32)
+    dxm = dx[:, hb - bw:hb - bw + w + 2 * bw]
+    dym = dy[:, hb - bw:hb - bw + w + 2 * bw]
+    a_xx = (R0[2] + R1w[2]) * 0.5
+    a_yy = (R0[3] + R1w[3]) * 0.5
+    axy = (R0[4] + R1w[4]) * 0.25
+    db_x = (R0[0] - R1w[0]) * 0.5 + a_xx * dxm + axy * dym
+    db_y = (R0[1] - R1w[1]) * 0.5 + axy * dxm + a_yy * dym
+
+    mcols = w + 2 * bw
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 0) \
+        + i * th - bw
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 1) - bw
+    damp = _damp_vec(row_ids, h) * _damp_vec(col_ids, w)
+    a_xx = a_xx * damp
+    a_yy = a_yy * damp
+    axy = axy * damp
+    db_x = db_x * damp
+    db_y = db_y * damp
+
+    m0 = a_xx * a_xx + axy * axy
+    m1 = (a_xx + a_yy) * axy
+    m2 = a_yy * a_yy + axy * axy
+    m3 = a_xx * db_x + axy * db_y
+    m4 = axy * db_x + a_yy * db_y
+
+    # ---- replicate M at the IMAGE borders (XLA parity) ----
+    # the reference path computes M only inside the image and box-filters
+    # with replicate padding; warping at out-of-image positions gives a
+    # different (wrong) M, so overwrite the halo with the edge row/col.
+    ir = row_ids[:, 0:1]                          # (mrows, 1) image rows
+    ic = col_ids[0:1, :]                          # (1, mcols) image cols
+    top_sel = (ir == 0)
+    bot_sel = (ir == h - 1)
+
+    def border_fix(m):
+        top_row = jnp.sum(jnp.where(top_sel, m, 0.0), axis=0, keepdims=True)
+        bot_row = jnp.sum(jnp.where(bot_sel, m, 0.0), axis=0, keepdims=True)
+        m = jnp.where(ir < 0, top_row, m)
+        m = jnp.where(ir > h - 1, bot_row, m)
+        m = jnp.where(ic < 0, m[:, bw:bw + 1], m)
+        m = jnp.where(ic > w - 1, m[:, w + bw - 1:w + bw], m)
+        return m
+
+    m0, m1, m2, m3, m4 = (border_fix(m) for m in (m0, m1, m2, m3, m4))
+
+    # ---- separable winsize smoothing + 2x2 solve ----
+    taps = 2 * bw + 1
+    box_split = weights is None        # uniform box, 3xA factored
+    outs = []
+    for m in (m0, m1, m2, m3, m4):
+        if box_split:
+            a = taps // 3
+            inv = 1.0 / taps
+            # box(3a) = box3 then stride-3 box_a (exact regrouping):
+            # 3 + a shifted adds instead of 3a per axis
+            s3 = None
+            for k in range(3):
+                t = m[k:k + th + taps - 3, :]
+                s3 = t if s3 is None else s3 + t
+            vsum = None
+            for j in range(a):
+                t = s3[3 * j:3 * j + th, :]
+                vsum = t if vsum is None else vsum + t
+            s3h = None
+            for k in range(3):
+                t = vsum[:, k:k + w + taps - 3]
+                s3h = t if s3h is None else s3h + t
+            hsum = None
+            for j in range(a):
+                t = s3h[:, 3 * j:3 * j + w]
+                hsum = t if hsum is None else hsum + t
+            hsum = hsum * (inv * inv)
+        else:
+            vsum = None
+            for k in range(taps):
+                t = weights[k] * m[k:k + th, :]
+                vsum = t if vsum is None else vsum + t
+            hsum = None
+            for k in range(taps):
+                t = weights[k] * vsum[:, k:k + w]
+                hsum = t if hsum is None else hsum + t
+        outs.append(hsum)
+    g11, g12, g22, h1, h2 = outs
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    out_ref[0, :, :] = (g22 * h1 - g12 * h2) * idet
+    out_ref[1, :, :] = (g11 * h2 - g12 * h1) * idet
+
+
+@functools.partial(jax.jit, static_argnames=("winsize", "max_disp",
+                                             "gaussian", "interpret"))
+def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
+              winsize: int, max_disp: int, gaussian: bool = False,
+              interpret: bool = False) -> jnp.ndarray:
+    """One fused Farneback iteration (warp included).
+
+    R0p, R1p: (5, H, W) UNWARPED polyexp planes (f32 or bf16 storage);
+    flow_p: (2, H, W) prior flow. max_disp: the select-sum displacement
+    clamp (FlowConfig.fast_warp). Returns (2, H, W) new absolute flow.
+    Matches update_matrices_p(fast_warp=max_disp) + update_flow_p.
+    """
+    _, h, w = R0p.shape
+    bw = winsize // 2
+    D = int(max_disp)
+    hb = bw + D
+    if gaussian:
+        kern = gaussian_kernel(2 * bw + 1, bw * 0.3).astype(np.float64)
+        weights = tuple(np.float32(v) for v in kern)
+    elif (2 * bw + 1) % 3 == 0:
+        weights = None              # uniform box: factored 3xA taps
+    else:
+        kern = np.full(2 * bw + 1, 1.0 / (2 * bw + 1), dtype=np.float64)
+        weights = tuple(np.float32(v) for v in kern)
+
+    th = 32 if h >= 32 else _round_up(h, 8)
+    h_pad = _round_up(h, th)
+    rows = _round_up(th + 2 * hb + 1, 8)
+    extra = rows - (th + 2 * hb)
+    wp = _round_up(w + 2 * hb + 1, 128)
+
+    def prep(x):
+        x = jnp.pad(x, ((0, 0), (hb, hb), (hb, hb)), mode="edge")
+        return jnp.pad(x, ((0, 0), (0, h_pad - h + extra),
+                           (0, wp - (w + 2 * hb))))
+
+    r0 = prep(R0p)
+    r1 = prep(R1p)
+    fl = prep(flow_p)
+
+    out = pl.pallas_call(
+        functools.partial(_flow_iter_kernel, th, w, h, bw, D, weights),
+        grid=(h_pad // th,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec((2, th, w), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, h_pad, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((5, rows, wp), R0p.dtype),
+            pltpu.VMEM((5, rows, wp), R1p.dtype),
+            pltpu.VMEM((2, rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(r0, r1, fl)
+    return out[:, :h, :]

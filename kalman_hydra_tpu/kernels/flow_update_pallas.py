@@ -161,6 +161,9 @@ def flow_update(R0p: jnp.ndarray, R1wp: jnp.ndarray, flow_p: jnp.ndarray,
             pltpu.VMEM((2, rows, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(r0, r1, fl)
     return out[:, :h, :]

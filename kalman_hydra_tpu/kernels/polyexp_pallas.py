@@ -114,6 +114,9 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
             pltpu.VMEM((rows_in, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp)
     return out[:, :h, :]

@@ -427,6 +427,7 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
     fused flow-update kernel per iteration (warp stays in XLA, SURVEY.md
     §7 gather policy)."""
     if impl == "pallas":
+        from ..kernels.flow_iter_pallas import flow_iter as _fi
         from ..kernels.flow_update_pallas import flow_update as _fu
     flow_p = None
     for li in range(len(Rs_a)):
@@ -443,9 +444,18 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
             flow_p = resize_linear(flow_p, lh, lw) * (1.0 / cfg.pyr_scale)
         for _ in range(cfg.iterations):
             if impl == "pallas":
-                R1wp = _warp_poly_planar(R1p, flow_p)
-                flow_p = _fu(R0p, R1wp, flow_p, cfg.winsize,
-                             cfg.gaussian_win, interpret=interpret)
+                if cfg.fast_warp > 0:
+                    # FULLY fused iteration: select-sum warp + normal
+                    # equations + winsize smoothing + solve in one kernel
+                    flow_p = _fi(R0p.astype(jnp.float32),
+                                 R1p.astype(jnp.float32), flow_p,
+                                 cfg.winsize, cfg.fast_warp,
+                                 cfg.gaussian_win, interpret=interpret)
+                else:
+                    # exact-warp path: gather in XLA, rest fused
+                    R1wp = _warp_poly_planar(R1p, flow_p)
+                    flow_p = _fu(R0p, R1wp, flow_p, cfg.winsize,
+                                 cfg.gaussian_win, interpret=interpret)
             else:
                 Mp = update_matrices_p(R0p, R1p, flow_p,
                                        fast_warp=cfg.fast_warp)

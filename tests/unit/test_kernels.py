@@ -76,6 +76,23 @@ def test_ekf_kernel_matches_xla(state_dim, rng):
     assert np.abs(np.asarray(ng) - np.asarray(nr)).max() < 1e-4
 
 
+@pytest.mark.parametrize("win,gaussian", [(15, False), (13, False),
+                                          (15, True)])
+def test_flow_iter_kernel_matches_xla(win, gaussian, rng):
+    """Fully fused iteration (warp + M + box + solve) vs the XLA
+    fast-warp path, including the image-border M replication."""
+    from kalman_hydra_tpu.kernels.flow_iter_pallas import flow_iter
+    from kalman_hydra_tpu.ops import farneback as FB
+    h, w = 70, 90
+    R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    fl = jnp.asarray(rng.uniform(-5, 5, (2, h, w)).astype(np.float32))
+    got = flow_iter(R0, R1, fl, win, 8, gaussian, interpret=True)
+    ref = FB.update_flow_p(FB.update_matrices_p(R0, R1, fl, fast_warp=8),
+                           win, gaussian)
+    assert float(jnp.abs(got - ref).max()) < 1e-4
+
+
 @pytest.mark.parametrize("K", [600, 700])
 def test_ekf_kernel_tail_tile(K, rng):
     """Padded track counts in (512, 1024) not divisible by 512 must still

@@ -83,14 +83,41 @@ def main():
     def t_polyexp_pl(img, acc):
         return jnp.sum(poly_expansion_planar(img + acc * 1e-20, 5, 1.1)[:, ::64, ::64])
 
+    def t_warp_ss(R1p, flow_p, acc):
+        out = FB._warp_poly_selectsum_p(R1p, flow_p + acc * 1e-20, 8)
+        return jnp.sum(out[:, ::64, ::64])
+
+    def t_xla_iter_ss(R0p, R1p, flow_p, acc):
+        # the current bench path: one full fine-level iteration
+        Mp = FB.update_matrices_p(R0p, R1p, flow_p + acc * 1e-20,
+                                  fast_warp=8)
+        out = FB.update_flow_p(Mp, 15, False)
+        return jnp.sum(out[:, ::64, ::64])
+
+    def t_pallas_iter_ss(R0p, R1p, flow_p, acc):
+        R1w = FB._warp_poly_selectsum_p(R1p, flow_p + acc * 1e-20, 8)
+        out = flow_update(R0p, R1w, flow_p, 15, False)
+        return jnp.sum(out[:, ::64, ::64])
+
+    R0b = R0p.astype(jnp.bfloat16)
+    R1b = R1p.astype(jnp.bfloat16)
+
+    def t_xla_iter_ss_bf16(R0b, R1b, flow_p, acc):
+        Mp = FB.update_matrices_p(R0b, R1b, flow_p + acc * 1e-20,
+                                  fast_warp=8)
+        out = FB.update_flow_p(Mp, 15, False)
+        return jnp.sum(out[:, ::64, ::64])
+
     M = FB.update_matrices(R0, R1, flow)
     cases = [
-        ("warp HWC (current)", t_warp_hwc, (R1, flow)),
-        ("warp planar", t_warp_planar, (R1p, flow_p)),
-        ("update_matrices (incl warp)", t_updateM, (R0, R1, flow)),
-        ("update_flow (box+solve)", t_updateflow, (M,)),
-        ("PALLAS fused (warp XLA + kern)", t_pallas_fused, (R0p, R1p, flow_p)),
+        ("warp planar exact", t_warp_planar, (R1p, flow_p)),
+        ("warp planar selectsum D=8", t_warp_ss, (R1p, flow_p)),
+        ("XLA iter (ss warp+M+box+solve)", t_xla_iter_ss, (R0p, R1p, flow_p)),
+        ("XLA iter bf16 planes", t_xla_iter_ss_bf16, (R0b, R1b, flow_p)),
+        ("PALLAS iter (ss warp + kern)", t_pallas_iter_ss,
+         (R0p, R1p, flow_p)),
         ("PALLAS kern only (no warp)", t_pallas_nowarp, (R0p, R1p, flow_p)),
+        ("update_flow (box+solve)", t_updateflow, (M,)),
         ("polyexp XLA", t_polyexp_xla, (img,)),
         ("polyexp PALLAS", t_polyexp_pl, (img,)),
     ]
