@@ -53,13 +53,11 @@ def _damp_vec(abs_idx, limit):
 
 
 def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
-                      weights, r0_hbm, r1_hbm, fl_hbm, out_ref,
+                      rows: int, weights, r0_hbm, r1_hbm, fl_hbm, out_ref,
                       r0_s, r1_s, fl_s, sem):
     i = pl.program_id(0)
     hb = bw + D                       # warp+box halo
     mrows = th + 2 * bw               # rows where M is needed
-    # +1: the bilinear lower neighbor at the max shift; 8-aligned DMA
-    rows = _round_up(th + 2 * hb + 1, 8)
     copies = [
         pltpu.make_async_copy(src.at[:, pl.ds(i * th, rows), :], dst,
                               sem.at[slot])
@@ -205,16 +203,22 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "max_disp",
-                                             "gaussian", "interpret"))
+                                             "gaussian", "tile_h",
+                                             "interpret"))
 def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               winsize: int, max_disp: int, gaussian: bool = False,
-              interpret: bool = False) -> jnp.ndarray:
+              tile_h: int = 0, interpret: bool = False) -> jnp.ndarray:
     """One fused Farneback iteration (warp included).
 
-    R0p, R1p: (5, H, W) UNWARPED polyexp planes (f32 or bf16 storage);
+    R0p, R1p: (5, H, W) UNWARPED polyexp planes (f32 or bf16 storage —
+    bf16 slabs halve the DMA bytes and are warped/accumulated in f32);
     flow_p: (2, H, W) prior flow. max_disp: the select-sum displacement
     clamp (FlowConfig.fast_warp). Returns (2, H, W) new absolute flow.
     Matches update_matrices_p(fast_warp=max_disp) + update_flow_p.
+
+    tile_h: grid row-tile height (0 = default). Larger tiles amortize the
+    (bw + max_disp)-row halo recompute at the cost of VMEM (A/B'd on v5e:
+    see BASELINE.md).
     """
     _, h, w = R0p.shape
     bw = winsize // 2
@@ -229,9 +233,13 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
         kern = np.full(2 * bw + 1, 1.0 / (2 * bw + 1), dtype=np.float64)
         weights = tuple(np.float32(v) for v in kern)
 
-    th = 32 if h >= 32 else _round_up(h, 8)
+    # sublane alignment for the manual HBM->VMEM DMAs: 8 rows for 4-byte
+    # dtypes, 16 for bf16 (the packed register tile is (16, 128))
+    align = 16 if R0p.dtype.itemsize < 4 else 8
+    th = tile_h or 32
+    th = th if h >= th else _round_up(h, align)
     h_pad = _round_up(h, th)
-    rows = _round_up(th + 2 * hb + 1, 8)
+    rows = _round_up(th + 2 * hb + 1, align)
     extra = rows - (th + 2 * hb)
     wp = _round_up(w + 2 * hb + 1, 128)
 
@@ -245,7 +253,7 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
     fl = prep(flow_p)
 
     out = pl.pallas_call(
-        functools.partial(_flow_iter_kernel, th, w, h, bw, D, weights),
+        functools.partial(_flow_iter_kernel, th, w, h, bw, D, rows, weights),
         grid=(h_pad // th,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec((2, th, w), lambda i: (0, i, 0),

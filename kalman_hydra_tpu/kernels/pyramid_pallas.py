@@ -2,14 +2,24 @@
 
 TPU-native equivalent of OpenCV's C++ `pyrDown` (SURVEY.md §2.1 #6 native
 obligation). One kernel pass per level: row-tiled grid; each step DMAs its
-input slab (tile rows x full width, plus 4-row halo) from HBM to VMEM,
-does both separable passes and both decimations in registers/VMEM, and
-writes the (tile/2 x W/2) output block. The input is pre-padded
-REFLECT_101 by XLA (fused into the producer), so the kernel needs no
-border logic and every DMA offset is a plain multiple of the tile size.
+input slab (tile rows x full width, plus 4-row halo) from HBM to VMEM and
+computes the output block without materializing the blurred intermediate.
 
-vs XLA: one HBM read + one write per level (the fused blur+decimate never
-materializes the intermediate blurred image).
+Mosaic constraint note (verified on v5e): stride-2 vector slices and
+reshape-based parity extraction are rejected by the hardware compiler, so
+the decimating blur is expressed as two BANDED-MATRIX contractions on the
+MXU instead:
+
+    out = Dv @ slab @ Dh^T,   Dv[r, 2r+k] = w_k,   Dh[c, 2c+k] = w_k
+
+with w = [1,4,6,4,1]/16. The band matrices are tiny constants (exact in
+f32), the contractions are a few MFLOP per tile — noise next to the MXU's
+throughput — and the formulation compiles and runs on real TPUs (unlike
+the earlier strided-slice kernel, which was interpret-only).
+
+The input is pre-padded REFLECT_101 by XLA (fused into the producer), so
+the kernel needs no border logic and every DMA offset is a plain multiple
+of the tile size.
 """
 
 from __future__ import annotations
@@ -25,32 +35,36 @@ from jax.experimental.pallas import tpu as pltpu
 _W5 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 
 
-def _pyr_kernel(th_out: int, w_out: int,
-                in_hbm, out_ref, scratch, sem):
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=64)
+def _decim_band(n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) banded decimating-blur matrix: B[r, 2r+k] = w_k."""
+    B = np.zeros((n_out, n_in), dtype=np.float32)
+    for r in range(n_out):
+        for k, wk in enumerate(_W5):
+            c = 2 * r + k
+            if c < n_in:
+                B[r, c] = np.float32(wk)
+    return B
+
+
+def _pyr_kernel(th_out: int, rows_in: int,
+                dv_ref, dht_ref, in_hbm, out_ref, scratch, sem):
     i = pl.program_id(0)
-    rows_in = 2 * th_out + 4
     dma = pltpu.make_async_copy(
         in_hbm.at[pl.ds(i * 2 * th_out, rows_in), :],
         scratch, sem)
     dma.start()
     dma.wait()
 
-    s = scratch[:]                       # (2*th+4, wp) with wp = 2*w_out+4
-    # vertical blur at even rows only: v[r] = sum_k w_k s[2r+k]
-    # (stride-2 slices: reshape-based decimation is an unsupported Mosaic
-    # shape cast)
-    v = None
-    for k, wk in enumerate(_W5):
-        sl = jax.lax.slice(s, (k, 0), (k + 2 * th_out, s.shape[1]), (2, 1))
-        term = wk * sl
-        v = term if v is None else v + term
-    # horizontal blur at even cols: h[c] = sum_k w_k v[:, 2c+k]
-    out = None
-    for k, wk in enumerate(_W5):
-        sl = jax.lax.slice(v, (0, k), (th_out, k + 2 * w_out), (1, 2))
-        term = wk * sl
-        out = term if out is None else out + term
-    out_ref[:] = out
+    s = scratch[:]                       # (rows_in, wp)
+    # both separable decimating blurs as MXU contractions
+    t = jnp.dot(dv_ref[:], s, preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.dot(t, dht_ref[:],
+                         preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -59,27 +73,40 @@ def pyr_down(img: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     h, w = img.shape
     oh, ow = (h + 1) // 2, (w + 1) // 2
 
-    # REFLECT_101 pad by 2, plus zero-pad up to tile multiples
+    # REFLECT_101 pad by 2, plus zero-pad up to tile/DMA-aligned multiples
     xp = jnp.pad(img, ((2, 2), (2, 2)), mode="reflect")
-    th_out = min(128, oh)
-    oh_pad = ((oh + th_out - 1) // th_out) * th_out
-    need_rows = 2 * oh_pad + 4
-    need_cols = 2 * ow + 4
+    th_out = min(128, _round_up(oh, 8))
+    oh_pad = _round_up(oh, th_out)
+    rows_in = _round_up(2 * th_out + 4, 8)   # (8, 128)-aligned DMA extent
+    need_rows = 2 * oh_pad + (rows_in - 2 * th_out)
+    need_cols = _round_up(2 * ow + 4, 128)
     xp = jnp.pad(xp, ((0, need_rows - xp.shape[0]),
                       (0, max(0, need_cols - xp.shape[1]))))
 
+    dv = jnp.asarray(_decim_band(th_out, rows_in))
+    dht = jnp.asarray(_decim_band(ow, need_cols).T)
+
     grid = (oh_pad // th_out,)
     out = pl.pallas_call(
-        functools.partial(_pyr_kernel, th_out, ow),
+        functools.partial(_pyr_kernel, th_out, rows_in),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec((th_out, rows_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((need_cols, ow), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=pl.BlockSpec((th_out, ow), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((oh_pad, ow), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2 * th_out + 4, need_cols), jnp.float32),
+            pltpu.VMEM((rows_in, need_cols), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(xp)
+    )(dv, dht, xp)
     return out[:oh]

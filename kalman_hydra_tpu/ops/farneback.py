@@ -446,9 +446,10 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
             if impl == "pallas":
                 if cfg.fast_warp > 0:
                     # FULLY fused iteration: select-sum warp + normal
-                    # equations + winsize smoothing + solve in one kernel
-                    flow_p = _fi(R0p.astype(jnp.float32),
-                                 R1p.astype(jnp.float32), flow_p,
+                    # equations + winsize smoothing + solve in one kernel.
+                    # Planes go in at storage dtype (bf16 halves the slab
+                    # DMA bytes; accumulation is f32 inside the kernel).
+                    flow_p = _fi(R0p, R1p, flow_p,
                                  cfg.winsize, cfg.fast_warp,
                                  cfg.gaussian_win, interpret=interpret)
                 else:

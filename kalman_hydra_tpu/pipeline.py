@@ -69,16 +69,15 @@ def make_step(cfg: RunConfig):
                                           gray, cfg.ekf, F, Q)
         elif cfg.flow.method == "lk_sparse":
             pos = carry.tracks.x[:, 0:2]
-            if cfg.impl == "pallas":
-                from .kernels.lk_pallas import lk_sparse as _lk_pl
-                new_pts, ok = _lk_pl(carry.prev_gray, gray, pos, cfg.flow)
-                lk_cache = carry.prev_rpyr
-            else:
-                lk_cache = lk_ops.lk_pyramid(gray, cfg.flow)
-                prev_cache = carry.prev_rpyr or None
-                new_pts, ok = lk_ops.lk_sparse(
-                    carry.prev_gray, gray, pos, cfg.flow,
-                    prev_pyr=prev_cache, next_pyr=lk_cache)
+            # NOTE: the per-point lk_pallas kernel's (1, 2) output blocks
+            # violate Mosaic's block-shape rule on real TPUs (interpret-
+            # verified only) — the batched block-halo XLA path IS the
+            # hardware path for sparse LK, whatever cfg.impl says.
+            lk_cache = lk_ops.lk_pyramid(gray, cfg.flow)
+            prev_cache = carry.prev_rpyr or None
+            new_pts, ok = lk_ops.lk_sparse(
+                carry.prev_gray, gray, pos, cfg.flow,
+                prev_pyr=prev_cache, next_pyr=lk_cache)
             state = carry.tracks
             x_pred, P_pred = _predict_only(state, F, Q)
             z = pos + (new_pts - pos)  # = new_pts; kept explicit for clarity
@@ -156,7 +155,7 @@ def make_step(cfg: RunConfig):
             new_rpyr = carry.prev_rpyr      # no flow pyramids in this mode
         elif cfg.flow.method == "farneback":
             new_rpyr = rpyr
-        elif cfg.flow.method == "lk_sparse" and cfg.impl != "pallas":
+        elif cfg.flow.method == "lk_sparse":
             new_rpyr = lk_cache
         else:
             new_rpyr = carry.prev_rpyr
@@ -188,7 +187,7 @@ def init_from_frame(frame0, cfg: RunConfig) -> Carry:
     elif cfg.flow.method == "farneback":
         from .ops.farneback import polyexp_pyramid
         rpyr = polyexp_pyramid(gray0, cfg.flow, impl=cfg.impl)
-    elif cfg.flow.method == "lk_sparse" and cfg.impl != "pallas":
+    elif cfg.flow.method == "lk_sparse":
         rpyr = lk_ops.lk_pyramid(gray0, cfg.flow)
     corner_cache = ()
     if cfg.tracks.reinit and cfg.tracks.reinit_every > 1:
@@ -410,7 +409,7 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
             rpyr = jax.jit(polyexp_pyramid,
                            static_argnames=("cfg", "impl"))(
                 prev_gray_d, cfg.flow, impl=cfg.impl)
-        elif cfg.flow.method == "lk_sparse" and cfg.impl != "pallas":
+        elif cfg.flow.method == "lk_sparse":
             rpyr = lk_ops.lk_pyramid(prev_gray_d, cfg.flow)
         corner_cache = ()
         if cfg.tracks.reinit and cfg.tracks.reinit_every > 1:

@@ -93,6 +93,38 @@ def test_flow_iter_kernel_matches_xla(win, gaussian, rng):
     assert float(jnp.abs(got - ref).max()) < 1e-4
 
 
+@pytest.mark.parametrize("tile_h", [16, 48, 64])
+def test_flow_iter_kernel_tile_heights(tile_h, rng):
+    """Row-tile height is a pure perf knob — results must not change."""
+    from kalman_hydra_tpu.kernels.flow_iter_pallas import flow_iter
+    h, w = 70, 90
+    R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    fl = jnp.asarray(rng.uniform(-5, 5, (2, h, w)).astype(np.float32))
+    ref = flow_iter(R0, R1, fl, 15, 8, False, interpret=True)
+    got = flow_iter(R0, R1, fl, 15, 8, False, tile_h=tile_h, interpret=True)
+    assert float(jnp.abs(got - ref).max()) < 1e-6
+
+
+def test_flow_iter_kernel_bf16_planes(rng):
+    """bf16 plane slabs (half the DMA bytes): storage-only precision loss —
+    must track the f32 kernel to bf16 rounding of the inputs."""
+    from kalman_hydra_tpu.kernels.flow_iter_pallas import flow_iter
+    h, w = 70, 90
+    R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    fl = jnp.asarray(rng.uniform(-5, 5, (2, h, w)).astype(np.float32))
+    got = flow_iter(R0.astype(jnp.bfloat16), R1.astype(jnp.bfloat16), fl,
+                    15, 8, False, interpret=True)
+    # reference: same storage rounding through the XLA twin
+    ref = FB.update_flow_p(
+        FB.update_matrices_p(R0.astype(jnp.bfloat16),
+                             R1.astype(jnp.bfloat16), fl,
+                             fast_warp=8).astype(jnp.float32),
+        15, False)
+    assert float(jnp.abs(got - ref).max()) < 0.05
+
+
 @pytest.mark.parametrize("K", [600, 700])
 def test_ekf_kernel_tail_tile(K, rng):
     """Padded track counts in (512, 1024) not divisible by 512 must still

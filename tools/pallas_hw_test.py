@@ -4,7 +4,7 @@ Compiles each Pallas kernel on the real TPU and compares against its XLA
 twin computed on the same device. SIGALRM hard-kill bounds a hung remote
 compile. Usage: python tools/pallas_hw_test.py [kernel ...] [--timeout S]
 
-Kernels: pyramid polyexp flow_update ekf lk
+Kernels: pyramid polyexp flow_update flow_iter ekf lk
 """
 
 import os
@@ -45,7 +45,8 @@ def main():
     from kalman_hydra_tpu.config import EkfConfig, FlowConfig
     from kalman_hydra_tpu.io.synthetic import translating_pair
 
-    which = set(args) or {"pyramid", "polyexp", "flow_update", "ekf", "lk"}
+    which = set(args) or {"pyramid", "polyexp", "flow_update", "flow_iter",
+                          "ekf", "lk"}
     print(f"device: {jax.devices()[0]}; kernels: {sorted(which)}",
           flush=True)
     a, b, _ = translating_pair(height=270, width=480, shift=(2.0, -1.3))
@@ -82,6 +83,28 @@ def main():
         got = flow_update(R0, R1w, fl0, 15, False)
         ref = update_flow_p(update_matrices_p(R0, R1, fl0), 15, False)
         ok &= check(f"flow_update ({time.time()-t0:.0f}s)", got, ref, 1e-3)
+
+    if "flow_iter" in which:
+        from kalman_hydra_tpu.kernels.flow_iter_pallas import flow_iter
+        from kalman_hydra_tpu.ops.farneback import (
+            poly_expansion_p, update_matrices_p, update_flow_p)
+        R0 = poly_expansion_p(a_d, 5, 1.1)
+        R1 = poly_expansion_p(b_d, 5, 1.1)
+        rng0 = np.random.default_rng(1)
+        fl = jnp.asarray(rng0.uniform(-4, 4, (2,) + a.shape)
+                         .astype(np.float32))
+        ref = update_flow_p(
+            update_matrices_p(R0, R1, fl, fast_warp=8).astype(jnp.float32),
+            15, False)
+        t0 = time.time()
+        got = flow_iter(R0, R1, fl, 15, 8, False)
+        ok &= check(f"flow_iter ({time.time()-t0:.0f}s)", got, ref, 1e-3)
+        for th in (64, 128):
+            got = flow_iter(R0, R1, fl, 15, 8, False, tile_h=th)
+            ok &= check(f"flow_iter th={th}", got, ref, 1e-3)
+        got = flow_iter(R0.astype(jnp.bfloat16), R1.astype(jnp.bfloat16),
+                        fl, 15, 8, False)
+        ok &= check("flow_iter bf16", got, ref, 0.05)
 
     if "ekf" in which:
         from kalman_hydra_tpu.kernels.ekf_pallas import ekf_fused_step
