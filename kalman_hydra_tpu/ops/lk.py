@@ -121,6 +121,25 @@ def _gather_blocks(imgs: jnp.ndarray, by: jnp.ndarray, bx: jnp.ndarray,
     return out                                            # (K, C, size, size)
 
 
+def _gather_blocks_klast(imgs: jnp.ndarray, by: jnp.ndarray, bx: jnp.ndarray,
+                         size: int) -> jnp.ndarray:
+    """K-LAST twin of _gather_blocks: returns (C, size, size, K).
+
+    K sits on the TPU lane dimension so the downstream per-point iteration
+    math packs the (8, 128) registers fully — with K leading, every
+    (size, size) patch wastes ~(1 - size/128) of each vector register
+    (measured: the per-level tracking cost was nearly independent of
+    level image size; it was all VPU packing waste)."""
+    C, H, W = imgs.shape
+    iy = jnp.clip(by[:, None] + jnp.arange(size)[None, :], 0, H - 1)
+    rows = imgs[:, iy]                                    # (C, K, size, W)
+    ix = jnp.clip(bx[:, None] + jnp.arange(size)[None, :], 0, W - 1)
+    sel = (ix[:, :, None] == jnp.arange(W)[None, None, :]).astype(imgs.dtype)
+    out = jnp.einsum("cksw,ktw->cstk", rows, sel,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out                                            # (C, size, size, K)
+
+
 def _bilinear_shift(blk: jnp.ndarray, fx, fy, out: int) -> jnp.ndarray:
     """(..., out+1, out+1) block -> (..., out, out) patch at fraction
     (fx, fy) via the 4 static corner shifts (no gathers)."""
@@ -192,6 +211,92 @@ def _track_point_level_block(blk_b, patch_a, pgx, pgy, base, guess,
 
     guess, _ = lax.fori_loop(0, cfg.lk_max_iter, body, (guess, ok))
     return guess, ok, min_eig
+
+
+def _lk_level_batched_klast(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
+    """One pyramid level for ALL points, K-LAST layout: the K point axis
+    rides the TPU lane dimension through every patch op, so the VPU
+    registers are ~fully packed (the vmapped K-leading variant wastes
+    ~70% of each (8, 128) register on the patch width; measured ~2x
+    slower per level at K=1024, win=21)."""
+    w = cfg.lk_winsize
+    half = (w - 1) * 0.5
+    D = cfg.lk_block_halo
+    Bb = w + 1 + 2 * D
+    D2 = 2 * D
+
+    Hp, Wp = pb.shape
+
+    # template/gradient patches at the (fixed) point location
+    abase_x = jnp.floor(pt_l[:, 0] - half).astype(jnp.int32)
+    abase_y = jnp.floor(pt_l[:, 1] - half).astype(jnp.int32)
+    stack_a = jnp.stack([pa, pgx, pgy], axis=0)
+    blks_a = _gather_blocks_klast(stack_a, abase_y, abase_x, w + 1)
+    fax = (pt_l[:, 0] - half - abase_x)[None, None, :]
+    fay = (pt_l[:, 1] - half - abase_y)[None, None, :]
+
+    def bshift(blk, fx, fy):              # (..., n+1, n+1, K) -> (..., n, n, K)
+        return (blk[..., :w, :w, :] * (1 - fx) * (1 - fy)
+                + blk[..., :w, 1:w + 1, :] * fx * (1 - fy)
+                + blk[..., 1:w + 1, :w, :] * (1 - fx) * fy
+                + blk[..., 1:w + 1, 1:w + 1, :] * fx * fy)
+
+    patches = bshift(blks_a, fax, fay)                    # (3, w, w, K)
+    patch_a, pgx_p, pgy_p = patches[0], patches[1], patches[2]
+
+    g11 = jnp.sum(pgx_p * pgx_p, axis=(0, 1))             # (K,)
+    g12 = jnp.sum(pgx_p * pgy_p, axis=(0, 1))
+    g22 = jnp.sum(pgy_p * pgy_p, axis=(0, 1))
+    min_eig = ((g11 + g22) - jnp.sqrt((g11 - g22) ** 2 + 4.0 * g12 ** 2)) \
+        * 0.5 / (w * w)
+    det = g11 * g22 - g12 * g12
+    ok = (min_eig > cfg.lk_min_eig) & (det > 1e-12)
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    eps2 = jnp.float32(cfg.lk_eps * cfg.lk_eps)
+
+    # frame-B halo'd blocks around the initial guess
+    bbase_x = jnp.clip(jnp.floor(guess[:, 0] - half).astype(jnp.int32) - D,
+                       0, Wp - Bb)
+    bbase_y = jnp.clip(jnp.floor(guess[:, 1] - half).astype(jnp.int32) - D,
+                       0, Hp - Bb)
+    blk_b = _gather_blocks_klast(pb[None], bbase_y, bbase_x, Bb)[0]
+    base_x = bbase_x.astype(jnp.float32)                  # (K,)
+    base_y = bbase_y.astype(jnp.float32)
+
+    def body(_i, carry):
+        gx_, gy_, active = carry
+        ox = jnp.clip(gx_ - half - base_x, 0.0, float(D2))
+        oy = jnp.clip(gy_ - half - base_y, 0.0, float(D2))
+        dx_i = jnp.floor(ox).astype(jnp.int32)
+        dy_i = jnp.floor(oy).astype(jnp.int32)
+        # select-sum sub-block: static shifts on the leading axes, the
+        # per-point one-hot select broadcasts over lanes
+        rows = None
+        for i in range(D2 + 1):
+            t = jnp.where(dy_i[None, None, :] == i,
+                          blk_b[i:i + w + 1, :, :], 0.0)
+            rows = t if rows is None else rows + t        # (w+1, Bb, K)
+        sub = None
+        for j in range(D2 + 1):
+            t = jnp.where(dx_i[None, None, :] == j,
+                          rows[:, j:j + w + 1, :], 0.0)
+            sub = t if sub is None else sub + t           # (w+1, w+1, K)
+        fx = (ox - dx_i)[None, None, :]
+        fy = (oy - dy_i)[None, None, :]
+        patch_b = bshift(sub, fx, fy)                     # (w, w, K)
+        diff = patch_b - patch_a
+        b1 = jnp.sum(diff * pgx_p, axis=(0, 1))
+        b2 = jnp.sum(diff * pgy_p, axis=(0, 1))
+        dxs = -(g22 * b1 - g12 * b2) * inv_det
+        dys = -(g11 * b2 - g12 * b1) * inv_det
+        gx_n = jnp.where(active, gx_ + dxs, gx_)
+        gy_n = jnp.where(active, gy_ + dys, gy_)
+        still = active & (dxs * dxs + dys * dys > eps2)
+        return gx_n, gy_n, still
+
+    gx_, gy_, _ = lax.fori_loop(
+        0, cfg.lk_max_iter, body, (guess[:, 0], guess[:, 1], ok))
+    return jnp.stack([gx_, gy_], axis=-1), ok, min_eig
 
 
 def _lk_level_batched(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
@@ -268,8 +373,8 @@ def lk_sparse(prev: jnp.ndarray, nxt: jnp.ndarray, pts: jnp.ndarray,
                            jnp.asarray([w - 1.0 + pad // 2,
                                         h - 1.0 + pad // 2])) + pad
         if cfg.lk_block_halo > 0:
-            guess_p, ok, _eig = _lk_level_batched(pa, pb, pgx, pgy,
-                                                  pt_l, guess_p, cfg)
+            guess_p, ok, _eig = _lk_level_batched_klast(pa, pb, pgx, pgy,
+                                                        pt_l, guess_p, cfg)
         else:
             track = jax.vmap(
                 lambda p, g: _track_point_level(pa, pb, pgx, pgy, p, g, cfg))

@@ -187,6 +187,20 @@ def test_farneback_pallas_impl_matches_xla():
     assert np.abs(ref - got).max() < 1e-3
 
 
+def test_farneback_pallas_bf16_matches_xla():
+    """bf16_poly + impl=pallas: the cached bf16 polyexp pyramids feed the
+    fused iteration kernel directly (no f32 upcast) — must track the XLA
+    bf16 path within storage-rounding noise."""
+    from kalman_hydra_tpu.config import FlowConfig
+    from kalman_hydra_tpu.io.synthetic import translating_pair
+    a, b, _ = translating_pair(height=96, width=96, shift=(2.0, -1.0))
+    cfg = FlowConfig(levels=2, bf16_poly=True, fast_warp=8)
+    ref = np.asarray(FB.farneback(jnp.asarray(a), jnp.asarray(b), cfg))
+    got = np.asarray(FB.farneback(jnp.asarray(a), jnp.asarray(b), cfg,
+                                  impl="pallas", interpret=True))
+    assert np.abs(ref - got).max() < 0.05
+
+
 def test_lk_sparse_kernel_matches_xla():
     from kalman_hydra_tpu.config import FlowConfig
     from kalman_hydra_tpu.io.synthetic import translating_pair

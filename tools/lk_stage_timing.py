@@ -91,14 +91,21 @@ def main():
             g, ok, _ = L._lk_level_batched(pa, pb, pgx, pgy,
                                            pt_l + acc * 1e-6, pt_l, cfg)
             return jnp.sum(g) * 1e-3
-        return f, (pa, pb, pgx, pgy, pt_l)
+
+        def fk(pa, pb, pgx, pgy, pt_l, acc):
+            g, ok, _ = L._lk_level_batched_klast(pa, pb, pgx, pgy,
+                                                 pt_l + acc * 1e-6, pt_l,
+                                                 cfg)
+            return jnp.sum(g) * 1e-3
+        return f, fk, (pa, pb, pgx, pgy, pt_l)
 
     cases = [("pyramid+scharr (1 frame)", t_pyramid, (a,)),
              ("lk_sparse full (no cache)", t_full, (a, b, pts)),
              ("lk_sparse pipeline-shape", t_full_cached, (a, b, pts))]
     for lvl in (0, 1, 2):
-        f, args = level_case(lvl)
+        f, fk, args = level_case(lvl)
         cases.append((f"level {lvl} batched track", f, args))
+        cases.append((f"level {lvl} K-last track", fk, args))
 
     for name, fn, args in cases:
         try:
