@@ -61,10 +61,15 @@ def _pyr_kernel(th_out: int, rows_in: int,
     dma.wait()
 
     s = scratch[:]                       # (rows_in, wp)
-    # both separable decimating blurs as MXU contractions
-    t = jnp.dot(dv_ref[:], s, preferred_element_type=jnp.float32)
-    out_ref[:] = jnp.dot(t, dht_ref[:],
-                         preferred_element_type=jnp.float32)
+    # both separable decimating blurs as MXU contractions. HIGHEST
+    # precision is required: the MXU's default bf16 operand rounding costs
+    # ~0.5 intensity on u8-scale images (measured max_err 0.47 on v5e vs
+    # 1e-3 parity tol); bf16x3 restores f32-accurate products.
+    t = jax.lax.dot(dv_ref[:], s, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    out_ref[:] = jax.lax.dot(t, dht_ref[:],
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

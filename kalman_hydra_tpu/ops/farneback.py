@@ -449,9 +449,16 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                     # equations + winsize smoothing + solve in one kernel.
                     # Planes go in at storage dtype (bf16 halves the slab
                     # DMA bytes; accumulation is f32 inside the kernel).
+                    # KH_FI_TH: row-tile height A/B knob (0 = kernel
+                    # default; relay timing is too noisy at kernel
+                    # granularity, so tiles are compared bench-level).
+                    import os as _os
                     flow_p = _fi(R0p, R1p, flow_p,
                                  cfg.winsize, cfg.fast_warp,
-                                 cfg.gaussian_win, interpret=interpret)
+                                 cfg.gaussian_win,
+                                 tile_h=int(_os.environ.get("KH_FI_TH",
+                                                            "0")),
+                                 interpret=interpret)
                 else:
                     # exact-warp path: gather in XLA, rest fused
                     R1wp = _warp_poly_planar(R1p, flow_p)
