@@ -55,23 +55,40 @@ def _damp_vec(abs_idx, limit):
 def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                       rows: int, weights, r0_hbm, r1_hbm, fl_hbm, out_ref,
                       r0_s, r1_s, fl_s, sem):
+    """Double-buffered slab pipeline: scratch slabs have a leading 2-slot
+    axis; step i computes from slot i%2 while the DMAs for tile i+1 land
+    in slot (i+1)%2 (started before this step's wait, so the copies
+    overlap the whole compute body)."""
     i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
     hb = bw + D                       # warp+box halo
     mrows = th + 2 * bw               # rows where M is needed
-    copies = [
-        pltpu.make_async_copy(src.at[:, pl.ds(i * th, rows), :], dst,
-                              sem.at[slot])
-        for (src, dst, slot) in ((r0_hbm, r0_s, 0), (r1_hbm, r1_s, 1),
-                                 (fl_hbm, fl_s, 2))]
-    for c in copies:
-        c.start()
-    for c in copies:
+
+    def copies(step, slot):
+        return [
+            pltpu.make_async_copy(src.at[:, pl.ds(step * th, rows), :],
+                                  dst.at[slot], sem.at[slot, j])
+            for j, (src, dst) in enumerate(((r0_hbm, r0_s), (r1_hbm, r1_s),
+                                            (fl_hbm, fl_s)))]
+
+    @pl.when(i == 0)
+    def _start_first():
+        for c in copies(0, 0):
+            c.start()
+
+    @pl.when(i + 1 < nsteps)
+    def _prefetch_next():
+        for c in copies(i + 1, (i + 1) % 2):
+            c.start()
+
+    slot = i % 2
+    for c in copies(i, slot):
         c.wait()
 
-    wp = r0_s.shape[2]
-    R1 = r1_s[:].astype(jnp.float32)              # (5, rows, wp)
+    wp = r0_s.shape[3]
+    R1 = r1_s[slot].astype(jnp.float32)           # (5, rows, wp)
     # flow at the M region (slab rows [D, D+mrows))
-    flm = fl_s[:, D:D + mrows, :].astype(jnp.float32)
+    flm = fl_s[slot, :, D:D + mrows, :].astype(jnp.float32)
     dx = flm[0]
     dy = flm[1]
 
@@ -112,7 +129,7 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
         R1w = t if R1w is None else R1w + t        # (5, mrows, mcols)
 
     # ---- averaged-matrix normal equations (update_matrices_p) ----
-    R0 = r0_s[:, D:D + mrows, hb - bw:hb - bw + w + 2 * bw].astype(
+    R0 = r0_s[slot, :, D:D + mrows, hb - bw:hb - bw + w + 2 * bw].astype(
         jnp.float32)
     dxm = dx[:, hb - bw:hb - bw + w + 2 * bw]
     dym = dy[:, hb - bw:hb - bw + w + 2 * bw]
@@ -260,10 +277,10 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, h_pad, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((5, rows, wp), R0p.dtype),
-            pltpu.VMEM((5, rows, wp), R1p.dtype),
-            pltpu.VMEM((2, rows, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, 5, rows, wp), R0p.dtype),
+            pltpu.VMEM((2, 5, rows, wp), R1p.dtype),
+            pltpu.VMEM((2, 2, rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
