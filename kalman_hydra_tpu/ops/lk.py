@@ -332,12 +332,30 @@ def _lk_level_batched(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
     return track(blks_b, patches, base, guess)
 
 
-def lk_pyramid(img: jnp.ndarray, cfg: FlowConfig):
+def lk_pyramid(img: jnp.ndarray, cfg: FlowConfig, impl: str = "xla",
+               interpret: bool = False):
     """Pyramid + Scharr gradients for one frame — cacheable per frame
     (the pipeline carries the previous frame's tuple in its scan carry so
-    each frame's pyramid is built once, not twice)."""
-    pyr = build_pyramid(img.astype(jnp.float32), cfg.levels)
-    grads = [scharr_gradients(a) for a in pyr]
+    each frame's pyramid is built once, not twice).
+
+    impl="pallas" uses the fused MXU pyr_down + one-pass Scharr kernels
+    (hardware-verified twins) — silently kept on the XLA path when the
+    active backend is CPU, so pallas-tagged configs still run everywhere
+    (Mosaic kernels only compile for real TPUs outside interpret mode)."""
+    import jax as _jax
+    use_pl = (impl == "pallas"
+              and (interpret or _jax.default_backend() != "cpu"))
+    f = img.astype(jnp.float32)
+    if use_pl:
+        from ..kernels.pyramid_pallas import pyr_down as _pd
+        from ..kernels.scharr_pallas import scharr_gradients as _sg
+        pyr = [f]
+        for _ in range(cfg.levels - 1):
+            pyr.append(_pd(pyr[-1], interpret=interpret))
+        grads = [_sg(a, interpret=interpret) for a in pyr]
+    else:
+        pyr = build_pyramid(f, cfg.levels)
+        grads = [scharr_gradients(a) for a in pyr]
     return tuple(pyr), tuple(grads)
 
 

@@ -73,7 +73,7 @@ def make_step(cfg: RunConfig):
             # violate Mosaic's block-shape rule on real TPUs (interpret-
             # verified only) — the batched block-halo XLA path IS the
             # hardware path for sparse LK, whatever cfg.impl says.
-            lk_cache = lk_ops.lk_pyramid(gray, cfg.flow)
+            lk_cache = lk_ops.lk_pyramid(gray, cfg.flow, impl=cfg.impl)
             prev_cache = carry.prev_rpyr or None
             new_pts, ok = lk_ops.lk_sparse(
                 carry.prev_gray, gray, pos, cfg.flow,
@@ -188,7 +188,7 @@ def init_from_frame(frame0, cfg: RunConfig) -> Carry:
         from .ops.farneback import polyexp_pyramid
         rpyr = polyexp_pyramid(gray0, cfg.flow, impl=cfg.impl)
     elif cfg.flow.method == "lk_sparse":
-        rpyr = lk_ops.lk_pyramid(gray0, cfg.flow)
+        rpyr = lk_ops.lk_pyramid(gray0, cfg.flow, impl=cfg.impl)
     corner_cache = ()
     if cfg.tracks.reinit and cfg.tracks.reinit_every > 1:
         corner_cache = corner_pool(gray0, cfg.tracks)
@@ -410,7 +410,8 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
                            static_argnames=("cfg", "impl"))(
                 prev_gray_d, cfg.flow, impl=cfg.impl)
         elif cfg.flow.method == "lk_sparse":
-            rpyr = lk_ops.lk_pyramid(prev_gray_d, cfg.flow)
+            rpyr = lk_ops.lk_pyramid(prev_gray_d, cfg.flow,
+                                     impl=cfg.impl)
         corner_cache = ()
         if cfg.tracks.reinit and cfg.tracks.reinit_every > 1:
             # restore the pool verbatim (old checkpoints without it fall

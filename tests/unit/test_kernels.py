@@ -187,6 +187,34 @@ def test_farneback_pallas_impl_matches_xla():
     assert np.abs(ref - got).max() < 1e-3
 
 
+@pytest.mark.parametrize("shape", [(64, 96), (37, 53), (270, 480)])
+def test_scharr_kernel_matches_xla(shape, rng):
+    from kalman_hydra_tpu.kernels.scharr_pallas import (
+        scharr_gradients as sg_pl)
+    from kalman_hydra_tpu.ops.lk import scharr_gradients as sg_xla
+    img = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
+    rx, ry = sg_xla(img)
+    gx, gy = sg_pl(img, interpret=True)
+    assert float(jnp.abs(gx - rx).max()) < 1e-3
+    assert float(jnp.abs(gy - ry).max()) < 1e-3
+
+
+def test_lk_pyramid_pallas_matches_xla(rng):
+    """impl='pallas' pyramid front-end (MXU pyr_down + fused Scharr) must
+    track the XLA lk_pyramid at every level."""
+    from kalman_hydra_tpu.config import FlowConfig
+    from kalman_hydra_tpu.ops import lk as L
+    img = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+    cfg = FlowConfig(levels=3)
+    pyr_x, grads_x = L.lk_pyramid(img, cfg)
+    pyr_p, grads_p = L.lk_pyramid(img, cfg, impl="pallas", interpret=True)
+    for a, b in zip(pyr_x, pyr_p):
+        assert float(jnp.abs(a - b).max()) < 1e-3
+    for (gxa, gya), (gxb, gyb) in zip(grads_x, grads_p):
+        assert float(jnp.abs(gxa - gxb).max()) < 1e-3
+        assert float(jnp.abs(gya - gyb).max()) < 1e-3
+
+
 def test_farneback_pallas_bf16_matches_xla():
     """bf16_poly + impl=pallas: the cached bf16 polyexp pyramids feed the
     fused iteration kernel directly (no f32 upcast) — must track the XLA

@@ -4,7 +4,7 @@ Compiles each Pallas kernel on the real TPU and compares against its XLA
 twin computed on the same device. SIGALRM hard-kill bounds a hung remote
 compile. Usage: python tools/pallas_hw_test.py [kernel ...] [--timeout S]
 
-Kernels: pyramid polyexp flow_update flow_iter ekf lk
+Kernels: pyramid scharr polyexp flow_update flow_iter ekf lk
 """
 
 import os
@@ -45,8 +45,8 @@ def main():
     from kalman_hydra_tpu.config import EkfConfig, FlowConfig
     from kalman_hydra_tpu.io.synthetic import translating_pair
 
-    which = set(args) or {"pyramid", "polyexp", "flow_update", "flow_iter",
-                          "ekf", "lk"}
+    which = set(args) or {"pyramid", "scharr", "polyexp", "flow_update",
+                          "flow_iter", "ekf", "lk"}
     print(f"device: {jax.devices()[0]}; kernels: {sorted(which)}",
           flush=True)
     a, b, _ = translating_pair(height=270, width=480, shift=(2.0, -1.3))
@@ -60,6 +60,16 @@ def main():
         got = pyr_down(a_d)
         ref = pyr_down_xla(a_d)
         ok &= check(f"pyramid ({time.time()-t0:.0f}s)", got, ref, 1e-3)
+
+    if "scharr" in which:
+        from kalman_hydra_tpu.kernels.scharr_pallas import (
+            scharr_gradients as sg_pl)
+        from kalman_hydra_tpu.ops.lk import scharr_gradients as sg_xla
+        t0 = time.time()
+        gx, gy = sg_pl(a_d)
+        rx, ry = sg_xla(a_d)
+        ok &= check(f"scharr.gx ({time.time()-t0:.0f}s)", gx, rx, 1e-3)
+        ok &= check("scharr.gy", gy, ry, 1e-3)
 
     if "polyexp" in which:
         from kalman_hydra_tpu.kernels.polyexp_pallas import (
