@@ -33,9 +33,11 @@ def _load_cfg(args):
     if getattr(args, "tracks", None):
         over["tracks"] = dataclasses.replace(cfg.tracks,
                                              num_tracks=args.tracks)
-    if getattr(args, "smooth", False) or getattr(args, "smooth_chunk", 0):
+    if (getattr(args, "smooth", False) or getattr(args, "smooth_chunk", 0)
+            or getattr(args, "smooth_lag", 0)):
         over["smooth"] = SmoothConfig(
-            enabled=True, chunk=getattr(args, "smooth_chunk", 0) or 0)
+            enabled=True, chunk=getattr(args, "smooth_chunk", 0) or 0,
+            lag=getattr(args, "smooth_lag", 0) or 0)
     return cfg.replace(**over) if over else cfg
 
 
@@ -55,6 +57,10 @@ def main(argv=None):
     t.add_argument("--smooth-chunk", type=int, default=0,
                    help="host-chunked RTS chunk length (0 = on-device "
                         "monolithic; implies --smooth when > 0)")
+    t.add_argument("--smooth-lag", type=int, default=0,
+                   help="online fixed-lag smoother window (streaming-"
+                        "friendly: O(lag) device memory, no P-history "
+                        "D2H; implies --smooth when > 0)")
     t.add_argument("--stream", action="store_true",
                    help="O(1)-memory streaming mode")
     t.add_argument("--checkpoint", help="state checkpoint path")

@@ -153,10 +153,23 @@ class SmoothConfig:
     O(chunk) device memory for long horizons (SURVEY.md §3.4 memory plan);
     also the mode `track_stream` uses for streaming smoothing (where it
     defaults to 64 if left at 0).
+    lag > 0: ONLINE fixed-lag smoothing (models.rts.fixed_lag_smooth): the
+    per-frame step keeps an (lag+1)-deep state window in the scan carry
+    and emits the smoothed estimate of frame t-lag at step t — O(lag)
+    device memory AND O(K) host traffic per frame (the chunked mode must
+    ship the full P history to host, which the axon relay's slow D2H makes
+    impractical for streaming). In `track_stream`, lag takes precedence
+    over chunk when both are set; the trailing window is flushed with a
+    full in-window RTS at end of stream.
     """
 
     enabled: bool = False
     chunk: int = 0              # 0 = monolithic on-device; >0 = host-chunked
+    lag: int = 0                # >0 = online fixed-lag smoother (streaming)
+
+    def __post_init__(self):
+        if self.chunk < 0 or self.lag < 0:
+            raise ValueError("chunk and lag must be >= 0")
 
     def __post_init__(self):
         if self.chunk < 0:

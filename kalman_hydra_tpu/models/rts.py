@@ -120,3 +120,24 @@ def rts_smooth_chunked(F, x_filt, P_filt, x_pred, P_pred, chunk: int,
         init = (xs_c[0], Ps_c[0])
         hi = lo
     return xs_out, Ps_out
+
+
+def fixed_lag_smooth(F: jnp.ndarray,
+                     xf: jnp.ndarray, Pf: jnp.ndarray,
+                     xp: jnp.ndarray, Pp: jnp.ndarray,
+                     tid: jnp.ndarray, alive: jnp.ndarray):
+    """Online fixed-lag smoothing step (SURVEY.md §5 long-context).
+
+    Inputs are the (L+1)-deep state window carried by the pipeline,
+    oldest first: xf/Pf filtered states, xp/Pp the one-step predictions
+    FOR each window step, tid/alive the (L+1, K) lifecycle fields used to
+    derive segment breaks (re-seeds / deaths restart the recursion, same
+    semantics as the full RTS in pipeline.track_arrays). Returns the
+    smoothed (x, P) of the OLDEST window entry — the frame leaving the
+    window this step. Memory is O(L) in clip length; only (K, n) leaves
+    per frame, which is what makes streaming smoothing viable on hosts
+    where device->host bandwidth is the constraint.
+    """
+    breaks = (tid[1:] != tid[:-1]) | ~alive[1:] | ~alive[:-1]
+    xs, Ps = rts_smooth(F, xf, Pf, xp, Pp, breaks=breaks)
+    return xs[0], Ps[0]

@@ -41,6 +41,22 @@ class Carry(NamedTuple):
     prev_rpyr: Tuple = ()   # cached Farneback polyexp pyramid (per level)
     corner_cache: Tuple = ()  # (pts, score) pool reused between refreshes
     frame_idx: jnp.ndarray = None  # int32 step counter (reinit_every)
+    lag_buf: Tuple = ()     # (xf, Pf, xp, Pp, tid, alive) windows, oldest
+    #                         first — only when SmoothConfig.lag > 0
+
+
+def _lag_buf_init(state: TrackState, lag: int) -> Tuple:
+    """Prime the fixed-lag window with the seed state replicated: same
+    track ids + alive mask everywhere => no artificial segment breaks."""
+    rep = lambda a: jnp.broadcast_to(a[None], (lag + 1,) + a.shape)
+    return (rep(state.x), rep(state.P), rep(state.x), rep(state.P),
+            rep(state.track_id), rep(state.alive))
+
+
+def _lag_buf_push(buf: Tuple, state: TrackState, x_pred, P_pred) -> Tuple:
+    new = (state.x, state.P, x_pred, P_pred, state.track_id, state.alive)
+    return tuple(jnp.concatenate([b[1:], n[None]], axis=0)
+                 for b, n in zip(buf, new))
 
 
 def _flow_field(prev_gray, gray, cfg: RunConfig):
@@ -151,6 +167,16 @@ def make_step(cfg: RunConfig):
             "x_pred": aux["x_pred"],
             "P_pred": aux["P_pred"],
         }
+        lag_buf = carry.lag_buf
+        if cfg.smooth.lag > 0:
+            # online fixed-lag smoothing: push this frame into the window,
+            # emit the smoothed state of the frame leaving it (frame
+            # t - lag). Only (K, 2) crosses to host per frame.
+            from .models.rts import fixed_lag_smooth
+            lag_buf = _lag_buf_push(lag_buf, state, aux["x_pred"],
+                                    aux["P_pred"])
+            xs0, _Ps0 = fixed_lag_smooth(F, *lag_buf)
+            out["smoothed_lag"] = xs0[:, 0:2]
         if cfg.ekf.measurement == "photometric":
             new_rpyr = carry.prev_rpyr      # no flow pyramids in this mode
         elif cfg.flow.method == "farneback":
@@ -160,7 +186,8 @@ def make_step(cfg: RunConfig):
         else:
             new_rpyr = carry.prev_rpyr
         return Carry(tracks=state, prev_gray=gray, prev_rpyr=new_rpyr,
-                     corner_cache=corner_cache, frame_idx=frame_idx), out
+                     corner_cache=corner_cache, frame_idx=frame_idx,
+                     lag_buf=lag_buf), out
 
     return step
 
@@ -192,9 +219,11 @@ def init_from_frame(frame0, cfg: RunConfig) -> Carry:
     corner_cache = ()
     if cfg.tracks.reinit and cfg.tracks.reinit_every > 1:
         corner_cache = corner_pool(gray0, cfg.tracks)
+    lag_buf = (_lag_buf_init(state, cfg.smooth.lag)
+               if cfg.smooth.lag > 0 else ())
     return Carry(tracks=state, prev_gray=gray0, prev_rpyr=rpyr,
                  corner_cache=corner_cache,
-                 frame_idx=jnp.int32(0))
+                 frame_idx=jnp.int32(0), lag_buf=lag_buf)
 
 
 def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
@@ -231,7 +260,9 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
         "P_filt": carry0.tracks.P,
         "x_pred": carry0.tracks.x,
         "P_pred": carry0.tracks.P,
+        "smoothed_lag": carry0.tracks.x[:, 0:2],
     }
+    first = {k: first[k] for k in outs}
     outs = {k: jnp.concatenate([first[k][None], v], axis=0)
             for k, v in outs.items()}
     if cfg.smooth.enabled:
@@ -388,11 +419,15 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
     import os
     from .utils import checkpoint as ckpt
 
-    # with smoothing on, the per-frame filter history is offloaded to host
-    # RAM and smoothed chunk-at-a-time afterwards: O(chunk) device memory
-    # in clip length (SURVEY.md §5 long-context; SmoothConfig.chunk)
+    # with smoothing on: lag > 0 = online fixed-lag (only the smoothed
+    # (K, 2) row crosses to host per frame); otherwise the filter history
+    # is offloaded to host RAM and smoothed chunk-at-a-time afterwards —
+    # O(chunk) device memory in clip length (SURVEY.md §5 long-context)
     fetch_keys = ("pos", "alive", "nis", "track_id")
-    if cfg.smooth.enabled:
+    use_lag = cfg.smooth.enabled and cfg.smooth.lag > 0
+    if use_lag:
+        fetch_keys += ("smoothed_lag",)
+    elif cfg.smooth.enabled:
         fetch_keys += ("x_filt", "P_filt", "x_pred", "P_pred")
 
     rows = []
@@ -420,10 +455,16 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
                 corner_cache = tuple(jnp.asarray(a) for a in ccache)
             else:
                 corner_cache = corner_pool(prev_gray_d, cfg.tracks)
-        carry = Carry(tracks=jax.tree.map(jnp.asarray, state),
+        tracks_d = jax.tree.map(jnp.asarray, state)
+        carry = Carry(tracks=tracks_d,
                       prev_gray=prev_gray_d, prev_rpyr=rpyr,
                       corner_cache=corner_cache,
-                      frame_idx=jnp.int32(start_idx))
+                      frame_idx=jnp.int32(start_idx),
+                      # the lag window is not checkpointed: re-prime from
+                      # the restored state (the first `lag` smoothed rows
+                      # after resume lean on this flat prefix)
+                      lag_buf=(_lag_buf_init(tracks_d, cfg.smooth.lag)
+                               if cfg.smooth.lag > 0 else ()))
         # frame_idx counts filter steps: state at frame_idx=k has consumed
         # frames 0..k (frame 0 seeded the filter), so skip k+1 frames
         import itertools
@@ -464,7 +505,9 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
         # state as a single row rather than failing
         rows.append(_state_row(carry, cfg, fetch_keys))
     smoothed = None
-    if cfg.smooth.enabled and len(rows) > 1:
+    if use_lag and len(rows) > 1:
+        smoothed = _assemble_lag_smoothed(rows, carry, cfg)
+    elif cfg.smooth.enabled and len(rows) > 1:
         hist = {k: np.stack([np.asarray(r[k]) for r in rows])
                 for k in ("x_filt", "P_filt", "x_pred", "P_pred",
                           "track_id", "alive")}
@@ -487,4 +530,33 @@ def _state_row(carry: Carry, cfg: RunConfig, fetch_keys) -> dict:
            "track_id": np.asarray(carry.tracks.track_id)}
     if "x_filt" in fetch_keys:
         row.update({"x_filt": x, "P_filt": P, "x_pred": x, "P_pred": P})
+    if "smoothed_lag" in fetch_keys:
+        row["smoothed_lag"] = x[:, 0:2]
     return row
+
+
+def _assemble_lag_smoothed(rows, carry: Carry, cfg: RunConfig) -> np.ndarray:
+    """Align the per-step fixed-lag emissions into a (T, K, 2) smoothed
+    trajectory: step t's `smoothed_lag` is frame t - lag; the trailing
+    `lag` frames come from one full RTS over the final carry window (the
+    same window the step smoother held), so every frame ends up smoothed
+    with all the future the window ever saw."""
+    from .models.rts import rts_smooth
+    L = cfg.smooth.lag
+    T = len(rows)
+    K = rows[0]["pos"].shape[0]
+    smoothed = np.stack([np.asarray(r["pos"]) for r in rows]).astype(
+        np.float32)                              # fallback: filtered pos
+    for t in range(L, T):
+        smoothed[t - L] = np.asarray(rows[t]["smoothed_lag"])
+    # flush the final window: entry i <-> frame (T-1-L+i)
+    xf, Pf, xp, Pp, tid, alive = carry.lag_buf
+    breaks = (tid[1:] != tid[:-1]) | ~alive[1:] | ~alive[:-1]
+    F = jnp.asarray(dynamics.transition(cfg.ekf))
+    xs, _Ps = jax.jit(rts_smooth)(F, xf, Pf, xp, Pp, breaks=breaks)
+    xs_np = np.asarray(xs[..., 0:2])
+    for i in range(L + 1):
+        f = T - 1 - L + i
+        if 0 <= f < T:
+            smoothed[f] = xs_np[i]
+    return smoothed
