@@ -208,10 +208,18 @@ def bench_decode_in_loop(h=1080, w=1920, t=17, num_tracks=1024,
     vio.write_video(tmp, frames_bgr)
     log(f"wrote {tmp} ({t} frames @{h}x{w}): {time.time()-t0:.1f}s")
 
+    # gray=True: the loader converts BGR->gray u8 on its decode thread
+    # (bit-exact cv2 fixed point) so H2D moves 1/3 of the bytes — the
+    # measured e2e bottleneck is the relay H2D link (137 ms/frame for 6 MB
+    # BGR vs 12.7 ms decode), not decode. KH_H2D_GRAY=0 ships BGR.
+    h2d_gray = os.environ.get("KH_H2D_GRAY", "1") == "1"
+
     def open_stream():
         if native_ok():
-            return NativeFrameStream(tmp), "native_cpp_ring"
-        return vio.FrameStream(tmp), "cv2_fallback"
+            return (NativeFrameStream(tmp, gray=h2d_gray),
+                    "native_cpp_ring" + ("_gray" if h2d_gray else ""))
+        return (vio.FrameStream(tmp, gray=h2d_gray),
+                "cv2_fallback" + ("_gray" if h2d_gray else ""))
 
     # --- pass 1: pure decode ---
     stream, loader = open_stream()

@@ -40,6 +40,10 @@ def _load():
         return None
     lib.fl_open.restype = ctypes.c_void_p
     lib.fl_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    if hasattr(lib, "fl_open2"):
+        lib.fl_open2.restype = ctypes.c_void_p
+        lib.fl_open2.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                 ctypes.c_int]
     lib.fl_info.argtypes = [ctypes.c_void_p,
                             ctypes.POINTER(ctypes.c_int),
                             ctypes.POINTER(ctypes.c_int),
@@ -58,15 +62,28 @@ def available() -> bool:
 
 
 class NativeFrameStream:
-    """Threaded-decode frame stream backed by the C++ ring loader."""
+    """Threaded-decode frame stream backed by the C++ ring loader.
 
-    def __init__(self, path: str, ring: int = 8):
+    gray=True converts BGR->gray u8 on the decode thread with cv2's exact
+    fixed-point BT.601 (bit-identical to ops.color.grayscale_u8): frames
+    come out (H, W) uint8 and the host->device transfer moves 1/3 of the
+    bytes — the H2D link is the streaming bottleneck on relay hosts
+    (BASELINE.md decode-in-the-loop split)."""
+
+    def __init__(self, path: str, ring: int = 8, gray: bool = False):
         lib = _load()
         if lib is None:
             raise RuntimeError("native frame loader unavailable "
                                "(build with: make -C native)")
         self._lib = lib
-        self._h = lib.fl_open(path.encode(), ring)
+        self.gray = bool(gray)
+        if self.gray and not hasattr(lib, "fl_open2"):
+            raise RuntimeError("gray mode needs a rebuilt loader "
+                               "(make -C native)")
+        if self.gray:
+            self._h = lib.fl_open2(path.encode(), ring, 1)
+        else:
+            self._h = lib.fl_open(path.encode(), ring)
         if not self._h:
             raise IOError(f"cannot open video {path!r}")
         w = ctypes.c_int()
@@ -81,7 +98,9 @@ class NativeFrameStream:
         self.fps = fps.value or 30.0
 
     def __iter__(self) -> Iterator[np.ndarray]:
-        buf = np.empty((self.height, self.width, 3), dtype=np.uint8)
+        shape = ((self.height, self.width) if self.gray
+                 else (self.height, self.width, 3))
+        buf = np.empty(shape, dtype=np.uint8)
         ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         while True:
             if not self._lib.fl_next(self._h, ptr):

@@ -23,10 +23,14 @@ def open_video(path: str) -> "FrameStream":
 
 
 class FrameStream:
-    """Iterates BGR uint8 frames from a video file (or .npz/.npy clip)."""
+    """Iterates BGR uint8 frames from a video file (or .npz/.npy clip).
 
-    def __init__(self, path: str):
+    gray=True yields (H, W) uint8 via cv2.cvtColor (bit-identical to the
+    device grayscale) — 1/3 of the host->device bytes in streaming mode."""
+
+    def __init__(self, path: str, gray: bool = False):
         self.path = path
+        self.gray = bool(gray)
         self._cap = None
         self._arr = None
         if path.endswith((".npz", ".npy")):
@@ -50,14 +54,21 @@ class FrameStream:
             self.fps = float(self._cap.get(cv2.CAP_PROP_FPS)) or 30.0
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        if self.gray:
+            import cv2
         if self._arr is not None:
             for f in self._arr:
-                yield np.ascontiguousarray(f)
+                f = np.ascontiguousarray(f)
+                if self.gray and f.ndim == 3 and f.shape[-1] == 3:
+                    f = cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
+                yield f
             return
         while True:
             ok, frame = self._cap.read()
             if not ok:
                 break
+            if self.gray:
+                frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
             yield frame
 
     def read_all(self, limit: Optional[int] = None) -> np.ndarray:

@@ -69,20 +69,27 @@ def _polyexp_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
         m11 = e if m11 is None else m11 + e
         m02 = f if m02 is None else m02 + f
 
-    out_ref[0, :, :] = m10 * ig11           # b_x
-    out_ref[1, :, :] = m01 * ig11           # b_y
-    out_ref[2, :, :] = m00 * ig03 + m20 * ig33   # a_xx
-    out_ref[3, :, :] = m00 * ig03 + m02 * ig33   # a_yy
-    out_ref[4, :, :] = m11 * ig55           # axy (full xy coefficient)
+    dt = out_ref.dtype
+    out_ref[0, :, :] = (m10 * ig11).astype(dt)           # b_x
+    out_ref[1, :, :] = (m01 * ig11).astype(dt)           # b_y
+    out_ref[2, :, :] = (m00 * ig03 + m20 * ig33).astype(dt)   # a_xx
+    out_ref[3, :, :] = (m00 * ig03 + m02 * ig33).astype(dt)   # a_yy
+    out_ref[4, :, :] = (m11 * ig55).astype(dt)  # axy (full xy coefficient)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("poly_n", "poly_sigma", "interpret"))
+                   static_argnames=("poly_n", "poly_sigma", "out_dtype",
+                                    "interpret"))
 def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
+                          out_dtype=jnp.float32,
                           interpret: bool = False) -> jnp.ndarray:
     """(H, W) float32 -> (5, H, W) coefficient planes
     [b_x, b_y, a_xx, a_yy, axy]; same math/channels as
-    ops.farneback.poly_expansion (which returns (H, W, 5))."""
+    ops.farneback.poly_expansion (which returns (H, W, 5)).
+
+    out_dtype=bfloat16 stores the planes half-width straight from the
+    kernel (FlowConfig.bf16_poly): downstream flow_iter slab DMAs then
+    move half the bytes; all in-kernel math stays f32."""
     h, w = img.shape
     # cv2 semantics: poly_n IS the half-width (poly_n=5 -> 11 taps), matching
     # ops.farneback.farneback's call poly_expansion(img, cfg.poly_n, ...)
@@ -93,7 +100,10 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
     xg = tuple(np.float32(v) for v in (i * g))
     xxg = tuple(np.float32(v) for v in (i * i * g))
 
-    th = min(128, _round_up(h, 8))
+    # bf16 outputs pack (16, 128) register tiles: the out-block sublane
+    # extent must honor that alignment
+    align = 16 if jnp.dtype(out_dtype).itemsize < 4 else 8
+    th = min(128, _round_up(h, align))
     h_pad = ((h + th - 1) // th) * th
     rows_in = _round_up(th + 2 * n, 8)
     wp = _round_up(w + 2 * n, 128)
@@ -109,7 +119,7 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((5, th, w), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((5, h_pad, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((5, h_pad, w), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((rows_in, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,

@@ -410,11 +410,12 @@ def polyexp_pyramid(img: jnp.ndarray, cfg: FlowConfig, impl: str = "xla",
     once, not twice (SURVEY.md §3.1 hot-loop note). impl="pallas" computes
     the planes with the fused Pallas kernel (same caching contract)."""
     imgs = farneback_images(img, cfg.levels, cfg.pyr_scale)
+    dt = jnp.bfloat16 if cfg.bf16_poly else jnp.float32
     if impl == "pallas":
         from ..kernels.polyexp_pallas import poly_expansion_planar as _pe
-        return tuple(_pe(i, cfg.poly_n, cfg.poly_sigma, interpret=interpret)
+        return tuple(_pe(i, cfg.poly_n, cfg.poly_sigma, out_dtype=dt,
+                         interpret=interpret)
                      for i in imgs)
-    dt = jnp.bfloat16 if cfg.bf16_poly else jnp.float32
     return tuple(poly_expansion_p(i, cfg.poly_n, cfg.poly_sigma).astype(dt)
                  for i in imgs)
 
