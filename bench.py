@@ -231,12 +231,12 @@ def bench_decode_in_loop(h=1080, w=1920, t=17, num_tracks=1024,
     # --- pass 2: H2D from pre-decoded RAM (relay H2D is healthy) ---
     host_frames = [np.ascontiguousarray(f) for f in open_stream()[0]]
     d = jnp.asarray(host_frames[0])           # warm the transfer path
-    _ = float(np.asarray(jnp.sum(d[:2, :2, 0])))
+    _ = float(np.asarray(jnp.sum(d[:2, :2])))
     t0 = time.time()
     last = None
     for f in host_frames:
         last = jnp.asarray(f)
-    _ = float(np.asarray(jnp.sum(last[:2, :2, 0])))   # sync via tiny scalar
+    _ = float(np.asarray(jnp.sum(last[:2, :2])))   # sync via tiny scalar
     h2d_s = (time.time() - t0) / len(host_frames)
     log(f"H2D: {h2d_s*1e3:.1f} ms/frame")
 
