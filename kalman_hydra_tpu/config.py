@@ -171,10 +171,6 @@ class SmoothConfig:
         if self.chunk < 0 or self.lag < 0:
             raise ValueError("chunk and lag must be >= 0")
 
-    def __post_init__(self):
-        if self.chunk < 0:
-            raise ValueError("chunk must be >= 0")
-
 
 @dataclass(frozen=True)
 class RunConfig:
@@ -191,6 +187,17 @@ class RunConfig:
     def __post_init__(self):
         if self.impl not in ("xla", "pallas"):
             raise ValueError(f"unknown impl {self.impl!r}")
+        # cross-field validation: sparse LK drives a plain position KF
+        # (measurement='photometric' is fine — it bypasses flow entirely),
+        # so flow-based measurement models would be silently ignored
+        if (self.flow.method == "lk_sparse"
+                and self.ekf.measurement in ("implicit_flow",
+                                             "flow_photometric")):
+            raise ValueError(
+                "flow.method='lk_sparse' always measures track positions "
+                "(plain KF update); ekf.measurement="
+                f"{self.ekf.measurement!r} would be silently ignored — "
+                "use measurement='position' or a dense flow method")
 
     # ---- (de)serialization for CLI / checkpointing ----
     def to_json(self) -> str:

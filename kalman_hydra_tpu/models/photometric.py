@@ -122,7 +122,8 @@ def photometric_step(state, prev_gray: jnp.ndarray, gray: jnp.ndarray,
     from . import dynamics
     from .ekf import predict, update
     x_prev = state.x
-    x_pred, P_pred = predict(state.x, state.P, F, Q)
+    x_pred, P_pred = predict(state.x, state.P, F, Q,
+                             q_scale=state.q_scale)
     z, Rk, valid = photometric_measure(prev_gray, gray, x_prev[:, 0:2],
                                        x_pred[:, 0:2], cfg)
     Hm = jnp.asarray(dynamics.position_H(cfg))
@@ -133,7 +134,14 @@ def photometric_step(state, prev_gray: jnp.ndarray, gray: jnp.ndarray,
     x_out = jnp.where(m, x_new, x_pred)
     P_out = jnp.where(m[..., None], P_new, P_pred)
     nis = jnp.where(live, nis, 0.0)
-    return (state._replace(x=x_out, P=P_out),
+    new_state = state._replace(x=x_out, P=P_out)
+    if cfg.adaptive_q > 0 and state.q_scale is not None:
+        # same Mehra-style innovation adaptation as models.ekf.ekf_step
+        qs = state.q_scale * (1.0 + cfg.adaptive_q * (nis * 0.5 - 1.0))
+        new_state = new_state._replace(
+            q_scale=jnp.where(live, jnp.clip(qs, 0.1, 10.0),
+                              state.q_scale))
+    return (new_state,
             {"x_pred": x_pred, "P_pred": P_pred, "nis": nis})
 
 

@@ -390,7 +390,12 @@ def lk_sparse(prev: jnp.ndarray, nxt: jnp.ndarray, pts: jnp.ndarray,
         guess_p = jnp.clip(guess, -float(pad // 2),
                            jnp.asarray([w - 1.0 + pad // 2,
                                         h - 1.0 + pad // 2])) + pad
-        if cfg.lk_block_halo > 0:
+        # the halo'd block must fit the (padded) level image; tiny coarse
+        # levels (Wp < Bb) would make jnp.clip(base, 0, Wp - Bb) invalid
+        # (min > max -> negative bases -> garbage patches), so they take
+        # the per-point exact path instead — a static, shape-derived choice
+        Bb = cfg.lk_winsize + 1 + 2 * cfg.lk_block_halo
+        if cfg.lk_block_halo > 0 and min(pa.shape) >= Bb:
             guess_p, ok, _eig = _lk_level_batched_klast(pa, pb, pgx, pgy,
                                                         pt_l, guess_p, cfg)
         else:

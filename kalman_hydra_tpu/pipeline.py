@@ -103,11 +103,18 @@ def make_step(cfg: RunConfig):
             x_new, P_new, nis = kf_update(x_pred, P_pred, y, Hm, R)
             live = state.alive & ok
             m = live[:, None]
+            nis = jnp.where(live, nis, 0.0)
             state = state._replace(
                 x=jnp.where(m, x_new, x_pred),
                 P=jnp.where(m[..., None], P_new, P_pred))
-            aux = {"x_pred": x_pred, "P_pred": P_pred,
-                   "nis": jnp.where(live, nis, 0.0)}
+            if cfg.ekf.adaptive_q > 0 and state.q_scale is not None:
+                # same Mehra-style adaptation as ekf_step (models/ekf.py)
+                qs = state.q_scale * (
+                    1.0 + cfg.ekf.adaptive_q * (nis * 0.5 - 1.0))
+                state = state._replace(
+                    q_scale=jnp.where(live, jnp.clip(qs, 0.1, 10.0),
+                                      state.q_scale))
+            aux = {"x_pred": x_pred, "P_pred": P_pred, "nis": nis}
         elif cfg.flow.method == "farneback":
             # reuse the cached polyexp pyramid of the previous frame
             # (both impls: the pallas path would otherwise recompute each
@@ -168,7 +175,7 @@ def make_step(cfg: RunConfig):
             "P_pred": aux["P_pred"],
         }
         lag_buf = carry.lag_buf
-        if cfg.smooth.lag > 0:
+        if cfg.smooth.enabled and cfg.smooth.lag > 0:
             # online fixed-lag smoothing: push this frame into the window,
             # emit the smoothed state of the frame leaving it (frame
             # t - lag). Only (K, 2) crosses to host per frame.
@@ -194,7 +201,7 @@ def make_step(cfg: RunConfig):
 
 def _predict_only(state: TrackState, F, Q):
     from .models.ekf import predict
-    return predict(state.x, state.P, F, Q)
+    return predict(state.x, state.P, F, Q, q_scale=state.q_scale)
 
 
 def init_from_frame(frame0, cfg: RunConfig) -> Carry:
@@ -220,7 +227,7 @@ def init_from_frame(frame0, cfg: RunConfig) -> Carry:
     if cfg.tracks.reinit and cfg.tracks.reinit_every > 1:
         corner_cache = corner_pool(gray0, cfg.tracks)
     lag_buf = (_lag_buf_init(state, cfg.smooth.lag)
-               if cfg.smooth.lag > 0 else ())
+               if cfg.smooth.enabled and cfg.smooth.lag > 0 else ())
     return Carry(tracks=state, prev_gray=gray0, prev_rpyr=rpyr,
                  corner_cache=corner_cache,
                  frame_idx=jnp.int32(0), lag_buf=lag_buf)
@@ -248,6 +255,12 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
         v0 = sample_flow(flow01, carry0.tracks.x[:, 0:2]) / cfg.ekf.dt
         x0 = carry0.tracks.x.at[:, 2:4].set(v0)
         carry0 = carry0._replace(tracks=carry0.tracks._replace(x=x0))
+    if carry0.lag_buf and (seeds is not None or cfg.tracks.init_velocity):
+        # the fixed-lag window was primed from the corner-pool state in
+        # init_from_frame; re-prime it from the (replaced) seed state so
+        # the first emissions don't smooth through stale entries
+        carry0 = carry0._replace(
+            lag_buf=_lag_buf_init(carry0.tracks, cfg.smooth.lag))
     step = make_step(cfg)
     carry, outs = lax.scan(step, carry0, frames[1:])
     # prepend the frame-0 row
@@ -265,7 +278,26 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
     first = {k: first[k] for k in outs}
     outs = {k: jnp.concatenate([first[k][None], v], axis=0)
             for k, v in outs.items()}
-    if cfg.smooth.enabled:
+    if cfg.smooth.enabled and cfg.smooth.lag > 0:
+        # fixed-lag mode: the scan already smoothed each frame as it left
+        # the window — assemble instead of running a second full RTS.
+        # Frames T-1-lag..T-1 come from one RTS over the final window.
+        L = cfg.smooth.lag
+        T = outs["pos"].shape[0]
+        F = jnp.asarray(dynamics.transition(cfg.ekf))
+        xf, Pf, xp, Pp, tid_b, alive_b = carry.lag_buf
+        brk = (tid_b[1:] != tid_b[:-1]) | ~alive_b[1:] | ~alive_b[:-1]
+        xs_tail, _ = rts_smooth(F, xf, Pf, xp, Pp, breaks=brk)
+        # window entry i <-> frame (T-1-L+i): frames 0..T-1-L come from
+        # the per-step emissions (step t smoothed frame t-L), the last L
+        # frames from the final window's tail
+        if T > L:
+            sm = jnp.concatenate([outs["smoothed_lag"][L:],
+                                  xs_tail[1:, :, 0:2]], axis=0)
+        else:
+            sm = xs_tail[L + 1 - T:, :, 0:2]
+        outs["smoothed"] = sm
+    elif cfg.smooth.enabled:
         # RTS on device (history never leaves HBM; the relay makes host
         # round-trips of P histories expensive) with segment breaks at
         # re-seeds / dead frames
@@ -464,7 +496,8 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
                       # the restored state (the first `lag` smoothed rows
                       # after resume lean on this flat prefix)
                       lag_buf=(_lag_buf_init(tracks_d, cfg.smooth.lag)
-                               if cfg.smooth.lag > 0 else ()))
+                               if cfg.smooth.enabled and cfg.smooth.lag > 0
+                               else ()))
         # frame_idx counts filter steps: state at frame_idx=k has consumed
         # frames 0..k (frame 0 seeded the filter), so skip k+1 frames
         import itertools

@@ -93,3 +93,25 @@ def test_fixed_lag_emits_only_small_rows():
     lagged = pl.track_stream(iter(frames), _cfg_lag(4))
     assert lagged.smoothed is not None
     assert np.isfinite(lagged.smoothed).all()
+
+
+def test_fixed_lag_clip_mode_matches_streaming():
+    """track_clip with lag > 0 assembles the SAME smoothed trajectory the
+    streaming driver produces (per-step emissions + final-window flush),
+    without running a second full RTS."""
+    frames, _ = moving_blob_clip(num_frames=16, height=64, width=64, seed=8)
+    clip = pl.track_clip(frames, _cfg_lag(5))
+    streamed = pl.track_stream(iter(frames), _cfg_lag(5))
+    assert clip.smoothed is not None and streamed.smoothed is not None
+    np.testing.assert_allclose(clip.smoothed, streamed.smoothed, atol=1e-4)
+
+
+def test_fixed_lag_respects_enabled_flag():
+    """lag > 0 with enabled=False must be a no-op (no lag window, no
+    smoothed output)."""
+    frames, _ = moving_blob_clip(num_frames=8, height=64, width=64, seed=9)
+    cfg = RunConfig(flow=FlowConfig(levels=2),
+                    tracks=TrackConfig(num_tracks=8, corner_pool=16),
+                    smooth=SmoothConfig(enabled=False, lag=6))
+    tr = pl.track_stream(iter(frames), cfg)
+    assert tr.smoothed is None

@@ -111,3 +111,26 @@ def test_cli_track_stream_checkpoint(tmp_path):
     out2 = str(tmp_path / "tracks2.npz")
     assert cli_main(["track", clip, "--out", out2, "--tracks", "8",
                      "--stream", "--checkpoint", ck, "--resume"]) == 0
+
+
+def test_smooth_config_rejects_negative_lag():
+    import pytest as _pytest
+    from kalman_hydra_tpu.config import SmoothConfig
+    with _pytest.raises(ValueError):
+        SmoothConfig(enabled=True, lag=-5)
+    with _pytest.raises(ValueError):
+        SmoothConfig(chunk=-1)
+
+
+def test_runconfig_rejects_flow_measurement_with_sparse_lk():
+    import pytest as _pytest
+    from kalman_hydra_tpu.config import EkfConfig, FlowConfig, RunConfig
+    with _pytest.raises(ValueError):
+        RunConfig(flow=FlowConfig(method="lk_sparse"),
+                  ekf=EkfConfig(measurement="implicit_flow"))
+    with _pytest.raises(ValueError):
+        RunConfig(flow=FlowConfig(method="lk_sparse"),
+                  ekf=EkfConfig(measurement="flow_photometric"))
+    # photometric bypasses flow entirely — allowed
+    RunConfig(flow=FlowConfig(method="lk_sparse"),
+              ekf=EkfConfig(measurement="photometric"))

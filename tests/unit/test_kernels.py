@@ -247,3 +247,17 @@ def test_lk_sparse_kernel_matches_xla():
     assert (np.asarray(ref_st) == np.asarray(got_st)).all()
     m = np.asarray(ref_st) & np.asarray(got_st)
     assert np.abs(np.asarray(got_pts)[m] - np.asarray(ref_pts)[m]).max() < 1e-3
+
+
+def test_farneback_pallas_bf16_exact_warp_matches_xla():
+    """Regression: bf16_poly + impl=pallas + fast_warp=0 crashed (bf16
+    planes fed the f32-only flow_update kernel); the exact-parity path
+    must upcast and run."""
+    from kalman_hydra_tpu.config import FlowConfig
+    from kalman_hydra_tpu.io.synthetic import translating_pair
+    a, b, _ = translating_pair(height=96, width=96, shift=(2.0, -1.0))
+    cfg = FlowConfig(levels=2, bf16_poly=True, fast_warp=0)
+    ref = np.asarray(FB.farneback(jnp.asarray(a), jnp.asarray(b), cfg))
+    got = np.asarray(FB.farneback(jnp.asarray(a), jnp.asarray(b), cfg,
+                                  impl="pallas", interpret=True))
+    assert np.abs(ref - got).max() < 0.05

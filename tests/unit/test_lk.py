@@ -123,3 +123,25 @@ def test_lk_sparse_block_halo_matches_cv2(pair128):
     assert (ref_st.astype(bool) == got_st).mean() > 0.95
     m = ref_st.astype(bool) & got_st
     assert np.abs(got_pts[m] - ref_pts[m]).max() < 0.05
+
+
+def test_lk_sparse_block_halo_tiny_levels_fall_back(rng):
+    """Regression: coarse levels smaller than the halo'd block made the
+    base clip invalid (min > max) and produced garbage — they must take
+    the per-point path and agree with the halo=0 reference."""
+    from kalman_hydra_tpu.io.synthetic import translating_pair
+    a, b, _ = translating_pair(height=128, width=128, shift=(2.0, -1.5),
+                               seed=1)
+    pts = np.stack(np.meshgrid(np.arange(30, 99, 16),
+                               np.arange(30, 99, 16)), -1)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    # levels=5 on 128 px: level 4 is 8 px < Bb = 22 + 16 = 38
+    cfg_exact = FlowConfig(levels=5, lk_block_halo=0)
+    cfg_batch = FlowConfig(levels=5, lk_block_halo=8)
+    rp, rs = L.lk_sparse(jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts),
+                         cfg_exact)
+    gp, gs = L.lk_sparse(jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts),
+                         cfg_batch)
+    m = np.asarray(rs) & np.asarray(gs)
+    assert m.any()
+    assert np.abs(np.asarray(gp)[m] - np.asarray(rp)[m]).max() < 0.05
