@@ -81,6 +81,19 @@ def predict(x: jnp.ndarray, P: jnp.ndarray, F: jnp.ndarray, Q: jnp.ndarray,
     return x_p, P_p
 
 
+def adapt_q(q_scale: jnp.ndarray, nis: jnp.ndarray, mask: jnp.ndarray,
+            cfg) -> jnp.ndarray:
+    """Mehra-style innovation-based process-noise adaptation, shared by
+    every measurement channel (flow EKF, sparse-LK KF, photometric):
+    E[NIS] = 2 for a consistent 2-dof filter, so inflate Q when
+    innovations run hot and relax when cold, bounded to [0.1, 10] x the
+    configured Q. `mask` selects the tracks whose NIS is trustworthy this
+    frame (alive, and measurement-valid where the channel has a validity
+    gate)."""
+    qs = q_scale * (1.0 + cfg.adaptive_q * (nis * 0.5 - 1.0))
+    return jnp.where(mask, jnp.clip(qs, 0.1, 10.0), q_scale)
+
+
 # ------------------------------------------------------------------ update
 
 def _chol2x2(S: jnp.ndarray):
@@ -211,11 +224,6 @@ def ekf_step(state: TrackState, flow: jnp.ndarray, cfg: EkfConfig,
     nis = jnp.where(state.alive, nis, 0.0)
     new_state = state._replace(x=x_out, P=P_out)
     if cfg.adaptive_q > 0 and state.q_scale is not None:
-        # Mehra-style innovation-based adaptation: E[NIS] = 2 for a
-        # consistent 2-dof filter; inflate Q when innovations run hot,
-        # relax when cold. Bounded to [0.1, 10] x the configured Q.
-        qs = state.q_scale * (1.0 + cfg.adaptive_q * (nis * 0.5 - 1.0))
-        qs = jnp.clip(qs, 0.1, 10.0)
         new_state = new_state._replace(
-            q_scale=jnp.where(state.alive, qs, state.q_scale))
+            q_scale=adapt_q(state.q_scale, nis, state.alive, cfg))
     return new_state, {"x_pred": x_pred, "P_pred": P_pred, "nis": nis}

@@ -136,11 +136,9 @@ def photometric_step(state, prev_gray: jnp.ndarray, gray: jnp.ndarray,
     nis = jnp.where(live, nis, 0.0)
     new_state = state._replace(x=x_out, P=P_out)
     if cfg.adaptive_q > 0 and state.q_scale is not None:
-        # same Mehra-style innovation adaptation as models.ekf.ekf_step
-        qs = state.q_scale * (1.0 + cfg.adaptive_q * (nis * 0.5 - 1.0))
+        from .ekf import adapt_q
         new_state = new_state._replace(
-            q_scale=jnp.where(live, jnp.clip(qs, 0.1, 10.0),
-                              state.q_scale))
+            q_scale=adapt_q(state.q_scale, nis, live, cfg))
     return (new_state,
             {"x_pred": x_pred, "P_pred": P_pred, "nis": nis})
 

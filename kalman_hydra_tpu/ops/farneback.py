@@ -465,10 +465,13 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                     # the bit-parity mode, so bf16-stored planes upcast to
                     # f32 here (flow_update's kernel is f32-only)
                     R0f = R0p.astype(jnp.float32)
-                    R1wp = _warp_poly_planar(R1p.astype(jnp.float32),
-                                             flow_p)
-                    flow_p = _fu(R0f, R1wp, flow_p, cfg.winsize,
-                                 cfg.gaussian_win, interpret=interpret)
+                    # the warp's f32 lerp weights promote bf16 planes to
+                    # f32 on the fly (same policy as update_matrices_p) —
+                    # no full-plane upcast copy needed
+                    R1wp = _warp_poly_planar(R1p, flow_p)
+                    flow_p = _fu(R0f, R1wp.astype(jnp.float32), flow_p,
+                                 cfg.winsize, cfg.gaussian_win,
+                                 interpret=interpret)
             else:
                 Mp = update_matrices_p(R0p, R1p, flow_p,
                                        fast_warp=cfg.fast_warp)

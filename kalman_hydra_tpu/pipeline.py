@@ -108,12 +108,9 @@ def make_step(cfg: RunConfig):
                 x=jnp.where(m, x_new, x_pred),
                 P=jnp.where(m[..., None], P_new, P_pred))
             if cfg.ekf.adaptive_q > 0 and state.q_scale is not None:
-                # same Mehra-style adaptation as ekf_step (models/ekf.py)
-                qs = state.q_scale * (
-                    1.0 + cfg.ekf.adaptive_q * (nis * 0.5 - 1.0))
+                from .models.ekf import adapt_q
                 state = state._replace(
-                    q_scale=jnp.where(live, jnp.clip(qs, 0.1, 10.0),
-                                      state.q_scale))
+                    q_scale=adapt_q(state.q_scale, nis, live, cfg.ekf))
             aux = {"x_pred": x_pred, "P_pred": P_pred, "nis": nis}
         elif cfg.flow.method == "farneback":
             # reuse the cached polyexp pyramid of the previous frame
@@ -128,8 +125,8 @@ def make_step(cfg: RunConfig):
         else:
             flow = _flow_field(carry.prev_gray, gray, cfg)
             state, aux = ekf_step(carry.tracks, flow, cfg.ekf, F, Q, R)
-        if (cfg.ekf.measurement == "flow_photometric"
-                and cfg.flow.method != "lk_sparse"):
+        if cfg.ekf.measurement == "flow_photometric":
+            # (lk_sparse + flow_photometric is rejected at config time)
             # second sequential measurement: photometric refinement of the
             # flow-updated state (SURVEY.md §2.1 #3 "flow as an additional
             # measurement channel" — here flow is primary, appearance second)
@@ -389,8 +386,11 @@ def track_clip(frames: np.ndarray, cfg: RunConfig,
     """
     frames_d = jnp.asarray(frames)
     seeds_d = None if seeds is None else jnp.asarray(seeds)
-    if cfg.smooth.enabled and cfg.smooth.chunk > 0:
-        # host-chunked smoothing (SmoothConfig.chunk > 0): run the filter
+    if (cfg.smooth.enabled and cfg.smooth.chunk > 0
+            and cfg.smooth.lag == 0):
+        # host-chunked smoothing (SmoothConfig.chunk > 0, and lag takes
+        # precedence when both are set — same rule as track_stream): run
+        # the filter
         # with history, offload it, smooth O(chunk) on device — the
         # long-horizon memory plan (SURVEY.md §3.4). Monolithic on-device
         # RTS (chunk == 0) stays the throughput path.

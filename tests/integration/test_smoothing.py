@@ -115,3 +115,30 @@ def test_fixed_lag_respects_enabled_flag():
                     smooth=SmoothConfig(enabled=False, lag=6))
     tr = pl.track_stream(iter(frames), cfg)
     assert tr.smoothed is None
+
+
+def test_fixed_lag_clip_shorter_than_window():
+    """T <= lag: every frame comes from the final-window flush slice —
+    shapes and clip/stream agreement must hold (regression for the
+    xs_tail[L+1-T:] index arithmetic)."""
+    frames, _ = moving_blob_clip(num_frames=4, height=64, width=64, seed=10)
+    clip = pl.track_clip(frames, _cfg_lag(6))
+    streamed = pl.track_stream(iter(frames), _cfg_lag(6))
+    assert clip.smoothed.shape == clip.positions.shape
+    np.testing.assert_allclose(clip.smoothed, streamed.smoothed, atol=1e-4)
+
+
+def test_fixed_lag_takes_precedence_over_chunk():
+    """lag and chunk both set: BOTH drivers must pick the fixed-lag
+    smoother (they used to diverge — clip took the chunked RTS)."""
+    frames, _ = moving_blob_clip(num_frames=14, height=64, width=64,
+                                 seed=11)
+    cfg = RunConfig(flow=FlowConfig(levels=2),
+                    tracks=TrackConfig(num_tracks=8, corner_pool=16),
+                    smooth=SmoothConfig(enabled=True, lag=5, chunk=4))
+    clip = pl.track_clip(frames, cfg)
+    streamed = pl.track_stream(iter(frames), cfg)
+    np.testing.assert_allclose(clip.smoothed, streamed.smoothed, atol=1e-4)
+    # and the result is the LAG smoother's, not the chunked full RTS
+    lag_only = pl.track_clip(frames, _cfg_lag(5))
+    np.testing.assert_allclose(clip.smoothed, lag_only.smoothed, atol=1e-4)
