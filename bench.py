@@ -55,12 +55,23 @@ def pick_impl() -> str:
     import subprocess
     probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "tools", "mosaic_probe.py")
-    try:
-        rc = subprocess.run([sys.executable, probe, "120"],
-                            capture_output=True, timeout=150).returncode
-    except Exception as e:  # noqa: BLE001
-        log(f"mosaic probe errored ({e}); using XLA path")
-        return "xla"
+    # generous timeout + one retry: axon backend init alone can take
+    # ~80 s, so a 120 s probe window false-negatived to the XLA path
+    # (45 fps left on the table); rc=2 (timeout) also gets a cooldown
+    # in case the relay needs to recover
+    rc = 1
+    for attempt in range(2):
+        try:
+            rc = subprocess.run([sys.executable, probe, "240"],
+                                capture_output=True, timeout=300).returncode
+        except Exception as e:  # noqa: BLE001
+            log(f"mosaic probe errored ({e})")
+            rc = 2
+        if rc == 0:
+            break
+        if attempt == 0:
+            log(f"mosaic probe rc={rc}; retrying after cooldown")
+            time.sleep(90)
     impl = "pallas" if rc == 0 else "xla"
     log(f"mosaic probe rc={rc} -> impl={impl}")
     os.environ["KH_IMPL"] = impl       # EPE stage follows the same path

@@ -30,15 +30,31 @@ def _round_up(x: int, m: int) -> int:
 def _polyexp_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
                     th: int, w_out: int,
                     in_hbm, out_ref, scratch, sem):
+    """Double-buffered slab pipeline (same pattern as flow_iter): scratch
+    has a 2-slot leading axis; step i computes from slot i%2 while the
+    tile-i+1 copy lands in the other slot."""
     i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
     # Mosaic: HBM->VMEM slice extents must be (8, 128)-aligned; the input
     # carries matching tail padding
     rows_in = _round_up(th + 2 * n, 8)
-    dma = pltpu.make_async_copy(
-        in_hbm.at[pl.ds(i * th, rows_in), :], scratch, sem)
-    dma.start()
-    dma.wait()
-    s = scratch[:]                                  # (th+2n, w_out+2n)
+
+    def copy(step, slot):
+        return pltpu.make_async_copy(
+            in_hbm.at[pl.ds(step * th, rows_in), :], scratch.at[slot],
+            sem.at[slot])
+
+    @pl.when(i == 0)
+    def _first():
+        copy(0, 0).start()
+
+    @pl.when(i + 1 < nsteps)
+    def _prefetch():
+        copy(i + 1, (i + 1) % 2).start()
+
+    slot = i % 2
+    copy(i, slot).wait()
+    s = scratch[slot]                               # (th+2n, w_out+2n)
 
     taps = 2 * n + 1
     v0 = v1 = v2 = None
@@ -102,8 +118,9 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
 
     # bf16 outputs pack (16, 128) register tiles: the out-block sublane
     # extent must honor that alignment
+    import os as _os
     align = 16 if jnp.dtype(out_dtype).itemsize < 4 else 8
-    th = min(128, _round_up(h, align))
+    th = min(int(_os.environ.get("KH_PE_TH", "128")), _round_up(h, align))
     h_pad = ((h + th - 1) // th) * th
     rows_in = _round_up(th + 2 * n, 8)
     wp = _round_up(w + 2 * n, 128)
@@ -121,8 +138,8 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((5, h_pad, w), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows_in, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, rows_in, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

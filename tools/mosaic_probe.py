@@ -25,6 +25,8 @@ def main():
     signal.alarm(timeout)
 
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
