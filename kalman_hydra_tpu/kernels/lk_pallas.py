@@ -36,33 +36,57 @@ from ..ops.pyramid import build_pyramid
 _SLAB_MARGIN = 2  # rows/cols beyond winsize for bilinear +1 and safety
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def _lk_point_kernel(win: int, max_iter: int, eps2: float, min_eig: float,
                      pt_ref, guess_ref, imga, gx, gy, imgb,
                      out_ref, ok_ref,
                      pa_s, gx_s, gy_s, pb_s, sem):
-    """One point, one level. Images stay in HBM (ANY); patches are DMA'd."""
+    """One point, one level. Images stay in HBM (ANY); patches are DMA'd.
+
+    Hardware notes (v5e Mosaic, discovered by compiling on silicon):
+    HBM/VMEM memrefs are (8, 128)-tiled, so DMA slice OFFSETS must be
+    provably tile-aligned, not just the extents. The window base is
+    therefore aligned DOWN to the (8, 128) grid and the residual offset
+    is resolved in VMEM: an 8-way select-sum for sublanes and a dynamic
+    pltpu.roll for lanes. Results land in SMEM (scalar stores at the
+    dynamic point index — VMEM output blocks smaller than (8, 128) are
+    rejected by the block-shape rule)."""
     k = pl.program_id(0)
     h, w = imga.shape
     slab = win + _SLAB_MARGIN
+    rs = _round_up(slab + 7, 8)         # DMA row extent (+<=7 misalign)
+    cs = 256                            # DMA lane extent (+<=127 misalign)
+    hc = h - rs                         # content (replicate-padded) dims:
+    wc = w - cs                         # the wrapper adds (rs, cs) margins
     half = (win - 1) * 0.5
 
     px = pt_ref[k, 0]
     py = pt_ref[k, 1]
-    # integer window base, clamped so the slab stays in-bounds
+    # integer window base, clamped to the content region
     def base(v, limit):
         b = jnp.floor(v - half).astype(jnp.int32)
         return jnp.clip(b, 0, limit - slab)
-    ax0 = base(px, w)
-    ay0 = base(py, h)
-    fax = px - half - ax0.astype(jnp.float32)   # fractional offset in slab
+
+    def aligned(b, m):
+        ba = (b // m) * m
+        return ba, b - ba
+
+    ax0 = base(px, wc)
+    ay0 = base(py, hc)
+    ax128, dxo = aligned(ax0, 128)
+    ay8, dyo = aligned(ay0, 8)
+    fax = px - half - ax0.astype(jnp.float32)   # pure fraction in [0, 1)
     fay = py - half - ay0.astype(jnp.float32)
 
     copies = [
-        pltpu.make_async_copy(imga.at[pl.ds(ay0, slab), pl.ds(ax0, slab)],
+        pltpu.make_async_copy(imga.at[pl.ds(ay8, rs), pl.ds(ax128, cs)],
                               pa_s, sem.at[0]),
-        pltpu.make_async_copy(gx.at[pl.ds(ay0, slab), pl.ds(ax0, slab)],
+        pltpu.make_async_copy(gx.at[pl.ds(ay8, rs), pl.ds(ax128, cs)],
                               gx_s, sem.at[1]),
-        pltpu.make_async_copy(gy.at[pl.ds(ay0, slab), pl.ds(ax0, slab)],
+        pltpu.make_async_copy(gy.at[pl.ds(ay8, rs), pl.ds(ax128, cs)],
                               gy_s, sem.at[2]),
     ]
     for c in copies:
@@ -70,13 +94,18 @@ def _lk_point_kernel(win: int, max_iter: int, eps2: float, min_eig: float,
     for c in copies:
         c.wait()
 
-    def bilin(s, fx, fy):
-        """win x win bilinear patch at fractional offset (fx, fy) in slab."""
-        x0 = jnp.floor(fx).astype(jnp.int32)
-        y0 = jnp.floor(fy).astype(jnp.int32)
-        ax = fx - x0.astype(jnp.float32)
-        ay = fy - y0.astype(jnp.float32)
-        blk = lax.dynamic_slice(s, (y0, x0), (win + 1, win + 1))
+    def window(s, dy, dx):
+        """(rs, cs) slab -> (win+1, win+1) block at integer offset
+        (dy in [0, 8), dx in [0, 128)): sublane shift via 8-way
+        select-sum, lane shift via dynamic roll."""
+        rows = None
+        for j in range(8):
+            t = jnp.where(dy == j, s[j:j + win + 1, :], 0.0)
+            rows = t if rows is None else rows + t
+        return pltpu.roll(rows, -dx, axis=1)[:, :win + 1]
+
+    def bilin(blk, ax, ay):
+        """win x win bilinear patch at fraction (ax, ay) in [0, 1)."""
         p00 = blk[:win, :win]
         p01 = blk[:win, 1:win + 1]
         p10 = blk[1:win + 1, :win]
@@ -84,9 +113,9 @@ def _lk_point_kernel(win: int, max_iter: int, eps2: float, min_eig: float,
         return (p00 * (1 - ax) * (1 - ay) + p01 * ax * (1 - ay)
                 + p10 * (1 - ax) * ay + p11 * ax * ay)
 
-    pa = bilin(pa_s[:], fax, fay)
-    pgx = bilin(gx_s[:], fax, fay)
-    pgy = bilin(gy_s[:], fax, fay)
+    pa = bilin(window(pa_s[:], dyo, dxo), fax, fay)
+    pgx = bilin(window(gx_s[:], dyo, dxo), fax, fay)
+    pgy = bilin(window(gy_s[:], dyo, dxo), fax, fay)
 
     g11 = jnp.sum(pgx * pgx)
     g12 = jnp.sum(pgx * pgy)
@@ -101,18 +130,25 @@ def _lk_point_kernel(win: int, max_iter: int, eps2: float, min_eig: float,
         gxp, gyp, active = carry
 
         def do_iter(_):
-            bx0 = base(gxp, w)
-            by0 = base(gyp, h)
+            # clamp the center into the valid interior (same semantics as
+            # ops.lk._track_point_level): the fraction then stays in
+            # [0, 1) and the base clamp never binds
+            gxc = jnp.clip(gxp, half, jnp.float32(wc) - 1.0 - half - 2.0)
+            gyc = jnp.clip(gyp, half, jnp.float32(hc) - 1.0 - half - 2.0)
+            bx0 = base(gxc, wc)
+            by0 = base(gyc, hc)
+            bx128, bdx = aligned(bx0, 128)
+            by8, bdy = aligned(by0, 8)
 
             def with_b(pb_local, sem_b):
                 dma = pltpu.make_async_copy(
-                    imgb.at[pl.ds(by0, slab), pl.ds(bx0, slab)],
+                    imgb.at[pl.ds(by8, rs), pl.ds(bx128, cs)],
                     pb_local, sem_b)
                 dma.start()
                 dma.wait()
-                fbx = gxp - half - bx0.astype(jnp.float32)
-                fby = gyp - half - by0.astype(jnp.float32)
-                pb = bilin(pb_local[:], fbx, fby)
+                fbx = gxc - half - bx0.astype(jnp.float32)
+                fby = gyc - half - by0.astype(jnp.float32)
+                pb = bilin(window(pb_local[:], bdy, bdx), fbx, fby)
                 diff = pb - pa
                 b1 = jnp.sum(diff * pgx)
                 b2 = jnp.sum(diff * pgy)
@@ -122,7 +158,7 @@ def _lk_point_kernel(win: int, max_iter: int, eps2: float, min_eig: float,
 
             dx, dy = pl.run_scoped(
                 with_b,
-                pltpu.VMEM((slab, slab), jnp.float32),
+                pltpu.VMEM((rs, cs), jnp.float32),
                 pltpu.SemaphoreType.DMA)
             return gxp + dx, gyp + dy, (dx * dx + dy * dy) > eps2
 
@@ -133,9 +169,9 @@ def _lk_point_kernel(win: int, max_iter: int, eps2: float, min_eig: float,
 
     gx_new, gy_new, _ = lax.fori_loop(
         0, max_iter, body, (guess_ref[k, 0], guess_ref[k, 1], valid))
-    out_ref[0, 0] = gx_new
-    out_ref[0, 1] = gy_new
-    ok_ref[0, 0] = valid.astype(jnp.int32)
+    out_ref[k, 0] = gx_new
+    out_ref[k, 1] = gy_new
+    ok_ref[k] = valid.astype(jnp.int32)
 
 
 def _lk_level(img_a, img_b, gx, gy, pts, guess, cfg: FlowConfig,
@@ -147,8 +183,14 @@ def _lk_level(img_a, img_b, gx, gy, pts, guess, cfg: FlowConfig,
     # replicate-pad so every window slab is in-bounds; identical to the
     # per-sample border clamp of ops.lk.bilinear_sample (edge replication)
     pad = half + _SLAB_MARGIN
+    slab = win + _SLAB_MARGIN
+    rs = ((slab + 7 + 7) // 8) * 8
+    cs = 256
     def prep(x):
-        return jnp.pad(x, ((pad, pad), (pad, pad)), mode="edge")
+        x = jnp.pad(x, ((pad, pad), (pad, pad)), mode="edge")
+        # aligned-DMA margins: a base aligned DOWN to the (8, 128) grid
+        # plus the (rs, cs) extent always stays in-bounds
+        return jnp.pad(x, ((0, rs), (0, cs)))
     img_a, img_b, gx, gy = prep(img_a), prep(img_b), prep(gx), prep(gy)
     pts = jnp.clip(pts, 0.0, jnp.asarray([w - 1.0, h - 1.0])) + pad
     guess = jnp.clip(guess, -float(pad // 2),
@@ -157,31 +199,33 @@ def _lk_level(img_a, img_b, gx, gy, pts, guess, cfg: FlowConfig,
     kernel = functools.partial(
         _lk_point_kernel, win, cfg.lk_max_iter,
         float(cfg.lk_eps) ** 2, float(cfg.lk_min_eig))
-    slab = win + _SLAB_MARGIN
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # pts, guess
         grid=(K,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=(pl.BlockSpec((1, 2), lambda k, *_: (k, 0),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1), lambda k, *_: (k, 0),
-                                memory_space=pltpu.VMEM)),
+        # pin the images to HBM: with ANY, Mosaic may place small pyramid
+        # levels in VMEM, where slices must be (8, 128)-tile-aligned and
+        # the per-point dynamic window offsets fail to prove divisibility
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
+        # SMEM outputs: scalar stores at the dynamic point index (tiny
+        # VMEM blocks violate Mosaic's (8, 128) block-shape rule)
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[
-            pltpu.VMEM((slab, slab), jnp.float32),
-            pltpu.VMEM((slab, slab), jnp.float32),
-            pltpu.VMEM((slab, slab), jnp.float32),
-            pltpu.VMEM((slab, slab), jnp.float32),
+            pltpu.VMEM((rs, cs), jnp.float32),
+            pltpu.VMEM((rs, cs), jnp.float32),
+            pltpu.VMEM((rs, cs), jnp.float32),
+            pltpu.VMEM((rs, cs), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ])
     out, ok = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((K, 2), jnp.float32),
-                   jax.ShapeDtypeStruct((K, 1), jnp.int32)),
+                   jax.ShapeDtypeStruct((K,), jnp.int32)),
         interpret=interpret,
     )(pts, guess, img_a, gx, gy, img_b)
-    return out - pad, ok[:, 0] > 0
+    return out - pad, ok > 0
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
