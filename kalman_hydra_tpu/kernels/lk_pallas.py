@@ -218,13 +218,31 @@ def _lk_level(img_a, img_b, gx, gy, pts, guess, cfg: FlowConfig,
             pltpu.VMEM((rs, cs), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ])
-    out, ok = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((K, 2), jnp.float32),
-                   jax.ShapeDtypeStruct((K,), jnp.int32)),
-        interpret=interpret,
-    )(pts, guess, img_a, gx, gy, img_b)
+    def call(pts_c, guess_c):
+        Kc = pts_c.shape[0]
+        spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(Kc,),
+            in_specs=grid_spec.in_specs, out_specs=grid_spec.out_specs,
+            scratch_shapes=grid_spec.scratch_shapes)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=spec,
+            out_shape=(jax.ShapeDtypeStruct((Kc, 2), jnp.float32),
+                       jax.ShapeDtypeStruct((Kc,), jnp.int32)),
+            interpret=interpret,
+        )(pts_c, guess_c, img_a, gx, gy, img_b)
+
+    # SMEM holds ~1 MB and per-point scalar outputs pad to 512 B each:
+    # K > ~400 overflows it, so the point set is processed in <=256-point
+    # chunks (same kernel shape => one Mosaic compile, reused)
+    CH = 256
+    outs, oks = [], []
+    for lo in range(0, K, CH):
+        o, k_ = call(pts[lo:lo + CH], guess[lo:lo + CH])
+        outs.append(o)
+        oks.append(k_)
+    out = jnp.concatenate(outs, axis=0)
+    ok = jnp.concatenate(oks, axis=0)
     return out - pad, ok > 0
 
 
