@@ -261,3 +261,27 @@ def test_farneback_pallas_bf16_exact_warp_matches_xla():
     got = np.asarray(FB.farneback(jnp.asarray(a), jnp.asarray(b), cfg,
                                   impl="pallas", interpret=True))
     assert np.abs(ref - got).max() < 0.05
+
+
+def test_lk_sparse_kernel_border_points():
+    """Points hugging the image border exercise the aligned-DMA base
+    clamps and the fraction-stays-in-[0,1) invariant of the hardware
+    kernel redesign — must track the XLA path there too."""
+    from kalman_hydra_tpu.config import FlowConfig
+    from kalman_hydra_tpu.io.synthetic import translating_pair
+    from kalman_hydra_tpu.kernels import lk_pallas as LP
+    from kalman_hydra_tpu.ops import lk as L
+    a, b, _ = translating_pair(height=96, width=96, shift=(2.0, -1.5),
+                               seed=2)
+    pts = np.array([[1.0, 1.0], [94.0, 1.0], [1.0, 94.0], [94.0, 94.0],
+                    [0.0, 48.0], [95.0, 48.0], [48.0, 0.3], [47.7, 95.0],
+                    [48.0, 48.0]], np.float32)
+    cfg = FlowConfig(levels=2)
+    rp, rs = L.lk_sparse(jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts),
+                         cfg)
+    gp, gs = LP.lk_sparse(jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts),
+                          cfg, interpret=True)
+    assert (np.asarray(rs) == np.asarray(gs)).all()
+    m = np.asarray(rs) & np.asarray(gs)
+    if m.any():
+        assert np.abs(np.asarray(gp)[m] - np.asarray(rp)[m]).max() < 0.05
