@@ -409,13 +409,16 @@ def polyexp_pyramid(img: jnp.ndarray, cfg: FlowConfig, impl: str = "xla",
     this in its scan carry so each frame's pyramid+polyexp is computed
     once, not twice (SURVEY.md §3.1 hot-loop note). impl="pallas" computes
     the planes with the fused Pallas kernel (same caching contract)."""
-    imgs = farneback_images(img, cfg.levels, cfg.pyr_scale)
     dt = jnp.bfloat16 if cfg.bf16_poly else jnp.float32
     if impl == "pallas":
+        from ..kernels.level_image_pallas import farneback_images_pallas
         from ..kernels.polyexp_pallas import poly_expansion_planar as _pe
+        imgs = farneback_images_pallas(img, cfg.levels, cfg.pyr_scale,
+                                       interpret=interpret)
         return tuple(_pe(i, cfg.poly_n, cfg.poly_sigma, out_dtype=dt,
                          interpret=interpret)
                      for i in imgs)
+    imgs = farneback_images(img, cfg.levels, cfg.pyr_scale)
     return tuple(poly_expansion_p(i, cfg.poly_n, cfg.poly_sigma).astype(dt)
                  for i in imgs)
 

@@ -4,7 +4,7 @@ Compiles each Pallas kernel on the real TPU and compares against its XLA
 twin computed on the same device. SIGALRM hard-kill bounds a hung remote
 compile. Usage: python tools/pallas_hw_test.py [kernel ...] [--timeout S]
 
-Kernels: pyramid scharr polyexp flow_update flow_iter ekf lk
+Kernels: pyramid levels scharr polyexp flow_update flow_iter ekf lk
 """
 
 import os
@@ -45,8 +45,8 @@ def main():
     from kalman_hydra_tpu.config import EkfConfig, FlowConfig
     from kalman_hydra_tpu.io.synthetic import translating_pair
 
-    which = set(args) or {"pyramid", "scharr", "polyexp", "flow_update",
-                          "flow_iter", "ekf", "lk"}
+    which = set(args) or {"pyramid", "levels", "scharr", "polyexp",
+                          "flow_update", "flow_iter", "ekf", "lk"}
     print(f"device: {jax.devices()[0]}; kernels: {sorted(which)}",
           flush=True)
     a, b, _ = translating_pair(height=270, width=480, shift=(2.0, -1.3))
@@ -60,6 +60,17 @@ def main():
         got = pyr_down(a_d)
         ref = pyr_down_xla(a_d)
         ok &= check(f"pyramid ({time.time()-t0:.0f}s)", got, ref, 1e-3)
+
+    if "levels" in which:
+        from kalman_hydra_tpu.kernels.level_image_pallas import (
+            farneback_images_pallas)
+        from kalman_hydra_tpu.ops.pyramid import farneback_images
+        t0 = time.time()
+        got = farneback_images_pallas(a_d, 4, 0.5)
+        ref = farneback_images(a_d, 4, 0.5)
+        for li, (g, r) in enumerate(zip(got, ref)):
+            ok &= check(f"levels[{li}] ({time.time()-t0:.0f}s)", g, r,
+                        1e-2)
 
     if "scharr" in which:
         from kalman_hydra_tpu.kernels.scharr_pallas import (
