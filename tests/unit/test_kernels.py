@@ -287,17 +287,20 @@ def test_lk_sparse_kernel_border_points():
         assert np.abs(np.asarray(gp)[m] - np.asarray(rp)[m]).max() < 0.05
 
 
-@pytest.mark.parametrize("shape,levels", [((96, 128), 3), ((37, 53), 2),
-                                          ((270, 480), 4)])
-def test_level_images_kernel_matches_xla(shape, levels, rng):
+@pytest.mark.parametrize("shape,levels,scale",
+                         [((96, 128), 3, 0.5), ((37, 53), 2, 0.5),
+                          ((270, 480), 4, 0.5),
+                          ((128, 96), 3, 0.75),   # non-dyadic pyr_scale
+                          ((100, 100), 2, 0.6)])
+def test_level_images_kernel_matches_xla(shape, levels, scale, rng):
     """Fused blur+resize band-matrix kernel vs the XLA farneback_images
-    twin, every level."""
+    twin, every level — incl. non-dyadic pyr_scale (cvRound sizes)."""
     from kalman_hydra_tpu.kernels.level_image_pallas import (
         farneback_images_pallas)
     from kalman_hydra_tpu.ops.pyramid import farneback_images
     img = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
-    ref = farneback_images(img, levels, 0.5)
-    got = farneback_images_pallas(img, levels, 0.5, interpret=True)
+    ref = farneback_images(img, levels, scale)
+    got = farneback_images_pallas(img, levels, scale, interpret=True)
     assert len(ref) == len(got)
     for a, b in zip(ref, got):
         assert a.shape == b.shape
