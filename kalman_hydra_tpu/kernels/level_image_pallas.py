@@ -47,8 +47,10 @@ def _reflect101(idx: int, n: int) -> int:
 
 @functools.lru_cache(maxsize=16)
 def _band_mats(h: int, w: int, levels: int, pyr_scale: float):
-    """Per level (coarsest first, level 0 excluded): (V (lh, h),
-    HmT (w, lw)) float32 band matrices composing blur + resize."""
+    """Plan-aligned tuple (coarsest first, same order/length as
+    farneback_levels): entry i is (V (lh, h), HmT (w, lw)) float32 band
+    matrices composing blur + resize for that level, or None at the
+    level-0 entry (which takes the XLA path)."""
     plan = farneback_levels(h, w, levels, pyr_scale)
     mats = []
     for (k, lh, lw, sigma, ksize) in plan:
@@ -65,16 +67,14 @@ def _band_mats(h: int, w: int, levels: int, pyr_scale: float):
             return row
 
         def axis_mat(n_out: int, n_in: int) -> np.ndarray:
+            from ..ops.pyramid import resize_coeffs
             M = np.zeros((n_out, n_in), np.float64)
-            scale = n_in / n_out
+            i0s, i1s, fs = resize_coeffs(n_out, n_in)
             for o in range(n_out):
-                s = (o + 0.5) * scale - 0.5
-                i0 = int(np.clip(np.floor(s), 0, n_in - 1))
-                i1 = min(i0 + 1, n_in - 1)
-                f = float(np.clip(s - i0, 0.0, 1.0))
-                M[o] += (1.0 - f) * blur_row(i0, n_in)
+                f = float(fs[o])
+                M[o] += (1.0 - f) * blur_row(int(i0s[o]), n_in)
                 if f > 0.0:
-                    M[o] += f * blur_row(i1, n_in)
+                    M[o] += f * blur_row(int(i1s[o]), n_in)
             return M
 
         V = axis_mat(lh, h).astype(np.float32)
@@ -103,9 +103,14 @@ def farneback_images_pallas(img: jnp.ndarray, levels: int,
                             interpret: bool = False) -> List[jnp.ndarray]:
     """Fused twin of ops.pyramid.farneback_images (coarsest first).
 
-    Levels 1+ come from one Pallas call (two MXU contractions each, image
-    resident once); level 0 uses the XLA shifted-add blur (3 taps, no
-    resize — a full-res matmul would cost more than it saves)."""
+    2-D (H, W) input only (the XLA twin also takes batched stacks; batch
+    callers should vmap or loop). Levels 1+ come from one Pallas call
+    (two MXU contractions each, image resident once); level 0 uses the
+    XLA shifted-add blur (3 taps, no resize — a full-res matmul would
+    cost more than it saves)."""
+    if img.ndim != 2:
+        raise ValueError("farneback_images_pallas takes a single (H, W) "
+                         "image; vmap/loop for batches")
     from ..ops.filters import gaussian_blur
     h, w = img.shape[-2], img.shape[-1]
     f = img.astype(jnp.float32)

@@ -46,22 +46,36 @@ def _has_c(img) -> bool:
     return img.ndim >= 3 and img.shape[-1] <= 8
 
 
+def resize_coeffs(n_out: int, n_in: int):
+    """Half-pixel-center clamped bilinear coefficients (cv2 INTER_LINEAR):
+    returns (i0, i1, frac) numpy arrays of length n_out. Single source of
+    truth shared by the XLA resize below and the band-matrix level-image
+    kernel (kernels/level_image_pallas)."""
+    scale = n_in / n_out
+    s = (np.arange(n_out, dtype=np.float64) + 0.5) * scale - 0.5
+    i0 = np.clip(np.floor(s), 0, n_in - 1).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    f = np.clip(s - i0, 0.0, 1.0)
+    return i0, i1, f
+
+
 def _resize_hw(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     channel_last = _has_c(img)
     if channel_last:
         h, w = img.shape[-3], img.shape[-2]
     else:
         h, w = img.shape[-2], img.shape[-1]
-    scale_y = h / out_h
-    scale_x = w / out_w
-    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) * scale_y - 0.5
-    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) * scale_x - 0.5
-    y0 = jnp.clip(jnp.floor(ys), 0, h - 1).astype(jnp.int32)
-    x0 = jnp.clip(jnp.floor(xs), 0, w - 1).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    fy = jnp.clip(ys - y0.astype(jnp.float32), 0.0, 1.0)
-    fx = jnp.clip(xs - x0.astype(jnp.float32), 0.0, 1.0)
+    # shapes are static: bake the clamped bilinear coefficients as
+    # constants from the shared helper (single source of truth with the
+    # band-matrix level-image kernel)
+    y0n, y1n, fyn = resize_coeffs(out_h, h)
+    x0n, x1n, fxn = resize_coeffs(out_w, w)
+    y0 = jnp.asarray(y0n.astype(np.int32))
+    x0 = jnp.asarray(x0n.astype(np.int32))
+    y1 = jnp.asarray(y1n.astype(np.int32))
+    x1 = jnp.asarray(x1n.astype(np.int32))
+    fy = jnp.asarray(fyn.astype(np.float32))
+    fx = jnp.asarray(fxn.astype(np.float32))
 
     ax_h = img.ndim - (3 if channel_last else 2)
     ax_w = img.ndim - (2 if channel_last else 1)

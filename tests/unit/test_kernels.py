@@ -289,7 +289,7 @@ def test_lk_sparse_kernel_border_points():
 
 @pytest.mark.parametrize("shape,levels,scale",
                          [((96, 128), 3, 0.5), ((37, 53), 2, 0.5),
-                          ((270, 480), 4, 0.5),
+                          ((128, 128), 4, 0.5),  # levels_eff clamps to 2
                           ((128, 96), 3, 0.75),   # non-dyadic pyr_scale
                           ((100, 100), 2, 0.6)])
 def test_level_images_kernel_matches_xla(shape, levels, scale, rng):

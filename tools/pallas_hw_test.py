@@ -19,8 +19,15 @@ def _alarm(_s, _f):
 
 
 def check(name, got, ref, tol):
+    """Compare on DEVICE and fetch only the scalar: the axon relay's D2H
+    is ~MB/min, so fetching full arrays here can blow the SIGALRM budget
+    on a slow day. numpy inputs (already fetched/masked) pass through."""
     import numpy as np
-    err = float(np.abs(np.asarray(got) - np.asarray(ref)).max())
+    if isinstance(got, np.ndarray) or isinstance(ref, np.ndarray):
+        err = float(np.abs(np.asarray(got) - np.asarray(ref)).max())
+    else:
+        import jax.numpy as jnp
+        err = float(np.asarray(jnp.abs(got - ref).max()))
     ok = err < tol
     print(f"{name}: {'OK' if ok else 'FAIL'} max_err={err:.2e} tol={tol}",
           flush=True)
