@@ -142,3 +142,28 @@ def test_fixed_lag_takes_precedence_over_chunk():
     # and the result is the LAG smoother's, not the chunked full RTS
     lag_only = pl.track_clip(frames, _cfg_lag(5))
     np.testing.assert_allclose(clip.smoothed, lag_only.smoothed, atol=1e-4)
+
+
+def test_fixed_lag_survives_checkpoint_resume(tmp_path):
+    """Resume re-primes the lag window from the restored state (the
+    window itself is not checkpointed): the resumed run must produce
+    finite, shape-correct smoothed output and agree with the
+    uninterrupted run away from the resume boundary."""
+    frames, _ = moving_blob_clip(num_frames=18, height=64, width=64,
+                                 seed=12)
+    cfg = _cfg_lag(4)
+    ck = str(tmp_path / "ck.npz")
+    full = pl.track_stream(iter(frames), cfg)
+    # run once writing checkpoints, then resume from the frame-8 one
+    pl.track_stream(iter(frames[:9]), cfg, checkpoint_path=ck,
+                    checkpoint_every=8)
+    resumed = pl.track_stream(iter(frames), cfg, checkpoint_path=ck,
+                              resume=True)
+    assert resumed.smoothed is not None
+    assert np.isfinite(resumed.smoothed).all()
+    # positions (filter state) continue exactly; smoothed tails agree
+    # once the window has refilled with real history
+    np.testing.assert_allclose(resumed.positions[-1],
+                               full.positions[-1], atol=1e-3)
+    d = np.linalg.norm(resumed.smoothed[-4:] - full.smoothed[-4:], axis=-1)
+    assert float(d.max()) < 0.05
