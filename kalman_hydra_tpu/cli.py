@@ -22,7 +22,7 @@ logger = logging.getLogger("kalman_hydra_tpu")
 
 
 def _load_cfg(args):
-    from .config import (FlowConfig, RunConfig, SmoothConfig, TrackConfig)
+    from .config import RunConfig, SmoothConfig
     if args.config:
         cfg = RunConfig.from_json(open(args.config).read())
     else:

@@ -313,7 +313,7 @@ def farneback_sharded(prev: np.ndarray, nxt: np.ndarray, cfg: FlowConfig,
 
     from ..ops.farneback import (farneback_from_pyramids, poly_expansion_p,
                                  polyexp_pyramid, update_flow_p)
-    from ..ops.pyramid import farneback_levels, gaussian_blur_level
+    from ..ops.pyramid import gaussian_blur_level
 
     def block_fn(a_full, b_full):
         d = lax.axis_index(axis)
