@@ -89,8 +89,14 @@ def make_clip(t, h, w, seed=0):
 
 
 def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
-                         flow_method="farneback"):
+                         flow_method="farneback", repeats=None):
     """Fused flow+EKF throughput on pre-staged device frames.
+
+    Returns (fps, extra) where extra carries the median-of-N protocol
+    fields. Sub-480p clips finish in 11-14 ms against ~2 ms relay jitter
+    (BASELINE.md round-2 variance note), so the marginal time is measured
+    `repeats` times and the MEDIAN is reported, plus the min-max spread,
+    killing the round-2 "596-724" ambiguity.
 
     Timing notes for this environment (axon relay): block_until_ready does
     NOT synchronize and D2H is very slow, so the only honest clock is
@@ -150,23 +156,36 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
             return acc + jnp.sum(outs["pos"][-1]) * 1e-6
         return lax.fori_loop(0, R, body, jnp.float32(0.0))
 
-    times = {}
+    comps = {}
     for R in (1, 3):
         t0 = time.time()
-        comp = jax.jit(repeat_run, static_argnums=1).lower(
+        comps[R] = jax.jit(repeat_run, static_argnums=1).lower(
             frames_d, R).compile()
         log(f"compile R={R}: {time.time()-t0:.1f}s")
-        np.asarray(comp(frames_d))                      # warm
-        best = min(_fetch_time(comp, frames_d) for _ in range(2))
-        times[R] = best
-        log(f"R={R}: {best*1e3:.1f} ms")
-    marginal = (times[3] - times[1]) / 2.0
-    if marginal <= 0:
-        marginal = times[3] / 3.0
-    fps = batch * (t - 1) / marginal
-    log(f"{h}x{w} T={t} K={num_tracks}: {marginal*1e3:.1f} ms/clip steady "
+        np.asarray(comps[R](frames_d))                  # warm
+    if repeats is None:
+        # 1080p clips repeat within ~2%; sub-720p ones see 10-20% relay
+        # jitter — median-of-5 makes those citable (BASELINE.md)
+        repeats = 5 if h < 700 else 3
+    marginals = []
+    for rep in range(repeats):
+        t1 = min(_fetch_time(comps[1], frames_d) for _ in range(2))
+        t3 = min(_fetch_time(comps[3], frames_d) for _ in range(2))
+        m = (t3 - t1) / 2.0
+        if m <= 0:
+            m = t3 / 3.0
+        marginals.append(m)
+        log(f"repeat {rep}: R1={t1*1e3:.1f} ms R3={t3*1e3:.1f} ms "
+            f"marginal={m*1e3:.1f} ms")
+    med = float(np.median(marginals))
+    spread = (max(marginals) - min(marginals)) / med if med > 0 else 0.0
+    fps = batch * (t - 1) / med
+    extra = {"fps_median_of": repeats,
+             "fps_spread_pct": round(spread * 100.0, 1)}
+    log(f"{h}x{w} T={t} K={num_tracks}: median {med*1e3:.1f} ms/clip "
+        f"steady over {repeats} repeats (spread {spread*100:.0f}%) "
         f"=> {fps:.2f} frames/s/chip")
-    return fps
+    return fps, extra
 
 
 def _fetch_time(comp, *args):
@@ -335,39 +354,40 @@ def main():
                     help="sparse pyrLK pipeline mode at 1080p (1024 tracks)")
     args = ap.parse_args()
     if args.sparse:
-        fps = _retry(lambda: bench_fused_pipeline(
+        fps, sx = _retry(lambda: bench_fused_pipeline(
             1080, 1920, t=9, num_tracks=1024, flow_method="lk_sparse"))
         print(json.dumps({"metric": "fps_per_chip_1080p_sparse_lk",
                           "value": round(fps, 3), "unit": "frames/s/chip",
-                          "vs_baseline": None}), flush=True)
+                          "vs_baseline": None, **sx}), flush=True)
         return
 
     epe = None
     extra = {}
     try:
         if args.quick:
-            fps = _retry(lambda: bench_fused_pipeline(128, 128, t=5,
-                                                      num_tracks=64))
+            fps, extra = _retry(lambda: bench_fused_pipeline(
+                128, 128, t=5, num_tracks=64))
             epe = _retry(lambda: bench_epe(128, 128))
             metric = "fps_per_chip_quick"
             base = None
         elif args.config == 0:
-            fps = _retry(lambda: bench_fused_pipeline(1080, 1920, t=9,
-                                                      num_tracks=1024))
+            fps, extra = _retry(lambda: bench_fused_pipeline(
+                1080, 1920, t=9, num_tracks=1024))
             metric = "fps_per_chip_1080p_fused_flow_ekf"
             base = CPU_BASELINE_1080P_FPS
+            # the metric definition (BASELINE.json:2) pairs 1080p fps with
+            # EPE at the SAME resolution: `epe_px` IS the 1080p number
+            # (round-2 verdict weak #5 — it used to carry the 256p probe,
+            # which now ships as the separate `epe_px_256p` field)
             try:
-                epe = _retry(lambda: bench_epe(256, 256), attempts=2)
+                epe = _retry(lambda: bench_epe(1080, 1920), attempts=2)
             except Exception as e:  # EPE is auxiliary; keep the fps number
-                log(f"EPE stage skipped: {e}")
-            try:
-                # the metric definition (BASELINE.json:2) pairs 1080p fps
-                # with EPE at the SAME resolution — emit it in the JSON,
-                # not just BASELINE.md prose
-                extra["epe_px_1080p"] = round(
-                    _retry(lambda: bench_epe(1080, 1920), attempts=2), 5)
-            except Exception as e:
                 log(f"1080p EPE stage skipped: {e}")
+            try:
+                extra["epe_px_256p"] = round(
+                    _retry(lambda: bench_epe(256, 256), attempts=2), 5)
+            except Exception as e:
+                log(f"256p EPE probe skipped: {e}")
         else:
             fps, epe, metric, base, extra = bench_config(args.config)
     except Exception as e:  # noqa: BLE001
@@ -390,22 +410,21 @@ def bench_config(n):
     import jax.numpy as jnp
     if n == 1:
         # single frame-pair LK flow + 4-state EKF, 256x256 (BASELINE.json:7)
-        fps = bench_fused_pipeline(256, 256, t=9, num_tracks=256, state_dim=4,
-                                   flow_method="lk_dense")
-        return fps, bench_epe(256, 256), "fps_per_chip_cfg1_256p", None, {}
+        fps, x = bench_fused_pipeline(256, 256, t=9, num_tracks=256,
+                                      state_dim=4, flow_method="lk_dense")
+        return fps, bench_epe(256, 256), "fps_per_chip_cfg1_256p", None, x
     if n == 2:
-        fps = bench_fused_pipeline(480, 854, t=9, num_tracks=256)
-        return fps, bench_epe(256, 256), "fps_per_chip_cfg2_480p", 11.4, {}
+        fps, x = bench_fused_pipeline(480, 854, t=9, num_tracks=256)
+        return fps, bench_epe(256, 256), "fps_per_chip_cfg2_480p", 11.4, x
     if n == 3:
-        fps = bench_fused_pipeline(720, 1280, t=9, num_tracks=1024)
-        return fps, None, "fps_per_chip_cfg3_720p_1ktracks", None, {}
+        fps, x = bench_fused_pipeline(720, 1280, t=9, num_tracks=1024)
+        return fps, None, "fps_per_chip_cfg3_720p_1ktracks", None, x
     if n == 4:
         # BASELINE.json:10 is decode->pyramid->flow->EKF->export: report the
         # device number AND the end-to-end number with decode in the loop
-        fps = bench_fused_pipeline(1080, 1920, t=9, num_tracks=1024)
-        extra = {}
+        fps, extra = bench_fused_pipeline(1080, 1920, t=9, num_tracks=1024)
         try:
-            extra = bench_decode_in_loop()
+            extra.update(bench_decode_in_loop())
         except Exception as e:  # noqa: BLE001
             log(f"decode-in-loop stage skipped: {type(e).__name__}: {e}")
         return (fps, bench_epe(256, 256), "fps_per_chip_cfg4_1080p", 1.45,
@@ -434,22 +453,32 @@ def bench_config(n):
                 return acc + jnp.sum(outs["smoothed"][-1]) * 1e-6
             return lax.fori_loop(0, R, body, jnp.float32(0.0))
 
-        times = {}
+        comps = {}
         for R in (1, 3):
-            comp = jax.jit(repeat_run, static_argnums=1).lower(
+            comps[R] = jax.jit(repeat_run, static_argnums=1).lower(
                 frames_d, R).compile()
-            np.asarray(comp(frames_d))
-            times[R] = min(_fetch_time(comp, frames_d) for _ in range(2))
+            np.asarray(comps[R](frames_d))
+        # median-of-5 (same protocol as bench_fused_pipeline): this 480p
+        # clip sees the same ~2 ms relay jitter as config 2
         extra = {}
-        marginal = (times[3] - times[1]) / 2.0
-        if marginal <= 0:
-            # repeat-differencing collapsed (relay noise): fall back to the
-            # honest mean-per-run time and flag it, never inflate
-            marginal = times[3] / 3.0
-            extra["timing_degraded"] = True
-        fps = (t_frames - 1) / marginal
-        log(f"cfg5 long-horizon+RTS+reinit: {marginal*1e3:.1f} ms/clip "
-            f"=> {fps:.2f} fps")
+        marginals = []
+        for _rep in range(5):
+            t1 = min(_fetch_time(comps[1], frames_d) for _ in range(2))
+            t3 = min(_fetch_time(comps[3], frames_d) for _ in range(2))
+            m = (t3 - t1) / 2.0
+            if m <= 0:
+                # repeat-differencing collapsed (relay noise): fall back to
+                # the honest mean-per-run time and flag it, never inflate
+                m = t3 / 3.0
+                extra["timing_degraded"] = True
+            marginals.append(m)
+        med = float(np.median(marginals))
+        spread = (max(marginals) - min(marginals)) / med if med > 0 else 0.0
+        extra.update({"fps_median_of": 5,
+                      "fps_spread_pct": round(spread * 100.0, 1)})
+        fps = (t_frames - 1) / med
+        log(f"cfg5 long-horizon+RTS+reinit: median {med*1e3:.1f} ms/clip "
+            f"(spread {spread*100:.0f}%) => {fps:.2f} fps")
         return fps, None, "fps_per_chip_cfg5_rts", None, extra
     raise SystemExit(f"unknown config {n}")
 

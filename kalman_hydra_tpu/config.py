@@ -181,6 +181,10 @@ class RunConfig:
     tracks: TrackConfig = TrackConfig()
     smooth: SmoothConfig = SmoothConfig()
     impl: str = "xla"           # "xla" | "pallas" kernel backend
+    pallas_interpret: bool = False  # run Pallas kernels in interpret mode
+                                    # (CPU test knob: lets the full pipeline
+                                    # + sharding tests exercise impl="pallas"
+                                    # without a TPU; never set on hardware)
     dtype: str = "float32"
     data_axis: str = "data"     # mesh axis name for clip-parallel sharding
 
@@ -206,13 +210,32 @@ class RunConfig:
     @staticmethod
     def from_json(text: str) -> "RunConfig":
         raw = json.loads(text)
+        # keep OLD run artifacts loadable: lk_sparse + a flow-based
+        # measurement model was silently ignored before the cross-field
+        # validation below existed — degrade to the behavior those runs
+        # actually had (position KF) with a warning instead of refusing
+        # to deserialize them
+        flow_raw = raw.get("flow", {})
+        ekf_raw = raw.get("ekf", {})
+        if (flow_raw.get("method") == "lk_sparse"
+                and ekf_raw.get("measurement") in ("implicit_flow",
+                                                   "flow_photometric")):
+            import warnings
+            warnings.warn(
+                "config JSON combines flow.method='lk_sparse' with "
+                f"ekf.measurement={ekf_raw['measurement']!r}; that "
+                "combination was always a position-KF update — loading it "
+                "as measurement='position' (new configs must say so "
+                "explicitly)", stacklevel=2)
+            ekf_raw = dict(ekf_raw, measurement="position")
+            raw = dict(raw, ekf=ekf_raw)
         return RunConfig(
             flow=FlowConfig(**raw.get("flow", {})),
             ekf=EkfConfig(**raw.get("ekf", {})),
             tracks=TrackConfig(**raw.get("tracks", {})),
             smooth=SmoothConfig(**raw.get("smooth", {})),
             **{k: v for k, v in raw.items()
-               if k in ("impl", "dtype", "data_axis")},
+               if k in ("impl", "pallas_interpret", "dtype", "data_axis")},
         )
 
     def replace(self, **kw) -> "RunConfig":

@@ -254,6 +254,12 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
     # dtypes, 16 for bf16 (the packed register tile is (16, 128))
     align = 16 if R0p.dtype.itemsize < 4 else 8
     th = tile_h or 32
+    if th % align != 0:
+        # the manual HBM->VMEM DMA offsets are i*th rows: a tile height
+        # off the dtype's sublane alignment (8 f32 / 16 bf16) is rejected
+        # by Mosaic at compile time ON HARDWARE ONLY — round up here so a
+        # KH_FI_TH A/B sweep can't silently produce an uncompilable config
+        th = _round_up(th, align)
     th = th if h >= th else _round_up(h, align)
     h_pad = _round_up(h, th)
     rows = _round_up(th + 2 * hb + 1, align)

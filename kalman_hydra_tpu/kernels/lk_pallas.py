@@ -234,15 +234,23 @@ def _lk_level(img_a, img_b, gx, gy, pts, guess, cfg: FlowConfig,
 
     # SMEM holds ~1 MB and per-point scalar outputs pad to 512 B each:
     # K > ~400 overflows it, so the point set is processed in <=256-point
-    # chunks (same kernel shape => one Mosaic compile, reused)
+    # chunks. The set is PADDED to a multiple of 256 (replicating point 0;
+    # the surplus results are dropped below) so every chunk has the same
+    # (256,) grid/out_shape => exactly one ~5-10 s Mosaic relay compile,
+    # reused, instead of a second compile for a ragged tail chunk.
     CH = 256
+    K_pad = ((K + CH - 1) // CH) * CH
+    if K_pad != K:
+        rep = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[0:1], (K_pad - K,) + a.shape[1:])])
+        pts, guess = rep(pts), rep(guess)
     outs, oks = [], []
-    for lo in range(0, K, CH):
+    for lo in range(0, K_pad, CH):
         o, k_ = call(pts[lo:lo + CH], guess[lo:lo + CH])
         outs.append(o)
         oks.append(k_)
-    out = jnp.concatenate(outs, axis=0)
-    ok = jnp.concatenate(oks, axis=0)
+    out = jnp.concatenate(outs, axis=0)[:K]
+    ok = jnp.concatenate(oks, axis=0)[:K]
     return out - pad, ok > 0
 
 

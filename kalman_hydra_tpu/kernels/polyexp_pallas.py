@@ -117,7 +117,9 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
     xxg = tuple(np.float32(v) for v in (i * i * g))
 
     # bf16 outputs pack (16, 128) register tiles: the out-block sublane
-    # extent must honor that alignment
+    # extent must honor that alignment.
+    # KH_PE_TH is read at JIT TRACE time (same caveat as KH_FI_TH in
+    # ops/farneback.py): later changes in the same process are ignored.
     import os as _os
     align = 16 if jnp.dtype(out_dtype).itemsize < 4 else 8
     th = min(int(_os.environ.get("KH_PE_TH", "128")), _round_up(h, align))

@@ -456,6 +456,10 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                     # KH_FI_TH: row-tile height A/B knob (0 = kernel
                     # default; relay timing is too noisy at kernel
                     # granularity, so tiles are compared bench-level).
+                    # NOTE: read at JIT TRACE time — changing the env var
+                    # later in the same process has no effect on an
+                    # already-traced callable; A/B sweeps must use a fresh
+                    # interpreter per setting (bench.py does).
                     import os as _os
                     flow_p = _fi(R0p, R1p, flow_p,
                                  cfg.winsize, cfg.fast_warp,

@@ -59,9 +59,22 @@ def _lag_buf_push(buf: Tuple, state: TrackState, x_pred, P_pred) -> Tuple:
                  for b, n in zip(buf, new))
 
 
+def _effective_impl(cfg: RunConfig) -> str:
+    """Resolve cfg.impl for this backend: Mosaic kernels only compile for
+    real TPUs, so impl="pallas" on the CPU backend silently falls back to
+    XLA unless cfg.pallas_interpret runs them in interpret mode (the CPU
+    test knob — same policy as ops.lk.lk_pyramid)."""
+    if (cfg.impl == "pallas" and not cfg.pallas_interpret
+            and jax.default_backend() == "cpu"):
+        return "xla"
+    return cfg.impl
+
+
 def _flow_field(prev_gray, gray, cfg: RunConfig):
+    impl = _effective_impl(cfg)
     if cfg.flow.method == "farneback":
-        return farneback(prev_gray, gray, cfg.flow, impl=cfg.impl)
+        return farneback(prev_gray, gray, cfg.flow, impl=impl,
+                         interpret=cfg.pallas_interpret)
     if cfg.flow.method == "lk_dense":
         return lk_ops.lk_dense(prev_gray, gray, cfg.flow)
     raise ValueError(f"dense flow required, got {cfg.flow.method!r}")
@@ -72,6 +85,8 @@ def make_step(cfg: RunConfig):
     F = jnp.asarray(dynamics.transition(cfg.ekf))
     Q = jnp.asarray(dynamics.process_noise(cfg.ekf))
     R = jnp.asarray(cfg.ekf.r * np.eye(2, dtype=np.float32))
+    impl = _effective_impl(cfg)
+    interp = cfg.pallas_interpret
 
     def step(carry: Carry, frame):
         gray = grayscale_u8(frame)
@@ -91,7 +106,8 @@ def make_step(cfg: RunConfig):
             # kernel is hardware-verified too (aligned-DMA redesign) but
             # its serial per-point grid is the CUDA-analog design, not
             # the TPU-fast one.
-            lk_cache = lk_ops.lk_pyramid(gray, cfg.flow, impl=cfg.impl)
+            lk_cache = lk_ops.lk_pyramid(gray, cfg.flow, impl=impl,
+                                         interpret=interp)
             prev_cache = carry.prev_rpyr or None
             new_pts, ok = lk_ops.lk_sparse(
                 carry.prev_gray, gray, pos, cfg.flow,
@@ -120,13 +136,16 @@ def make_step(cfg: RunConfig):
             # frame's polyexp twice)
             from .ops.farneback import (farneback_from_pyramids,
                                         polyexp_pyramid)
-            rpyr = polyexp_pyramid(gray, cfg.flow, impl=cfg.impl)
+            rpyr = polyexp_pyramid(gray, cfg.flow, impl=impl,
+                                   interpret=interp)
             flow = farneback_from_pyramids(carry.prev_rpyr, rpyr, cfg.flow,
-                                           impl=cfg.impl)
-            state, aux = ekf_step(carry.tracks, flow, cfg.ekf, F, Q, R)
+                                           impl=impl, interpret=interp)
+            state, aux = ekf_step(carry.tracks, flow, cfg.ekf, F, Q, R,
+                                  impl=impl, interpret=interp)
         else:
             flow = _flow_field(carry.prev_gray, gray, cfg)
-            state, aux = ekf_step(carry.tracks, flow, cfg.ekf, F, Q, R)
+            state, aux = ekf_step(carry.tracks, flow, cfg.ekf, F, Q, R,
+                                  impl=impl, interpret=interp)
         if cfg.ekf.measurement == "flow_photometric":
             # (lk_sparse + flow_photometric is rejected at config time)
             # second sequential measurement: photometric refinement of the
@@ -215,13 +234,16 @@ def init_from_frame(frame0, cfg: RunConfig) -> Carry:
                              pool_size=cfg.tracks.num_tracks, mask=mask)
     state = init_tracks(cfg.ekf, pts, valid=score > 0)
     rpyr = ()
+    impl = _effective_impl(cfg)
     if cfg.ekf.measurement == "photometric":
         pass                                 # no flow pyramids in this mode
     elif cfg.flow.method == "farneback":
         from .ops.farneback import polyexp_pyramid
-        rpyr = polyexp_pyramid(gray0, cfg.flow, impl=cfg.impl)
+        rpyr = polyexp_pyramid(gray0, cfg.flow, impl=impl,
+                               interpret=cfg.pallas_interpret)
     elif cfg.flow.method == "lk_sparse":
-        rpyr = lk_ops.lk_pyramid(gray0, cfg.flow, impl=cfg.impl)
+        rpyr = lk_ops.lk_pyramid(gray0, cfg.flow, impl=impl,
+                                 interpret=cfg.pallas_interpret)
     corner_cache = ()
     if cfg.tracks.reinit and cfg.tracks.reinit_every > 1:
         corner_cache = corner_pool(gray0, cfg.tracks)
@@ -468,19 +490,22 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
     it = iter(frame_iter)
     start_idx = 0
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
-        state, prev_gray, start_idx, ccache = ckpt.load_state(checkpoint_path)
+        state, prev_gray, start_idx, ccache, lbuf = ckpt.load_state(
+            checkpoint_path)
         prev_gray_d = jnp.asarray(prev_gray)
         rpyr = ()
+        impl_r = _effective_impl(cfg)
         if cfg.ekf.measurement == "photometric":
             pass                             # no flow pyramids in this mode
         elif cfg.flow.method == "farneback":
             from .ops.farneback import polyexp_pyramid
             rpyr = jax.jit(polyexp_pyramid,
-                           static_argnames=("cfg", "impl"))(
-                prev_gray_d, cfg.flow, impl=cfg.impl)
+                           static_argnames=("cfg", "impl", "interpret"))(
+                prev_gray_d, cfg.flow, impl=impl_r,
+                interpret=cfg.pallas_interpret)
         elif cfg.flow.method == "lk_sparse":
-            rpyr = lk_ops.lk_pyramid(prev_gray_d, cfg.flow,
-                                     impl=cfg.impl)
+            rpyr = lk_ops.lk_pyramid(prev_gray_d, cfg.flow, impl=impl_r,
+                                     interpret=cfg.pallas_interpret)
         corner_cache = ()
         if cfg.tracks.reinit and cfg.tracks.reinit_every > 1:
             # restore the pool verbatim (old checkpoints without it fall
@@ -490,16 +515,22 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
             else:
                 corner_cache = corner_pool(prev_gray_d, cfg.tracks)
         tracks_d = jax.tree.map(jnp.asarray, state)
+        if cfg.smooth.enabled and cfg.smooth.lag > 0:
+            # the checkpointed smoother window makes resume BIT-IDENTICAL
+            # to an uninterrupted stream; old checkpoints without one fall
+            # back to a flat re-prime from the restored state (the first
+            # `lag` smoothed rows then lean on that flat prefix)
+            if lbuf is not None and lbuf[0].shape[0] == cfg.smooth.lag + 1:
+                lag_buf = tuple(jnp.asarray(a) for a in lbuf)
+            else:
+                lag_buf = _lag_buf_init(tracks_d, cfg.smooth.lag)
+        else:
+            lag_buf = ()
         carry = Carry(tracks=tracks_d,
                       prev_gray=prev_gray_d, prev_rpyr=rpyr,
                       corner_cache=corner_cache,
                       frame_idx=jnp.int32(start_idx),
-                      # the lag window is not checkpointed: re-prime from
-                      # the restored state (the first `lag` smoothed rows
-                      # after resume lean on this flat prefix)
-                      lag_buf=(_lag_buf_init(tracks_d, cfg.smooth.lag)
-                               if cfg.smooth.enabled and cfg.smooth.lag > 0
-                               else ()))
+                      lag_buf=lag_buf)
         # frame_idx counts filter steps: state at frame_idx=k has consumed
         # frames 0..k (frame 0 seeded the filter), so skip k+1 frames
         import itertools
@@ -531,7 +562,8 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
                 and frame_idx % checkpoint_every == 0):
             ckpt.save_state(checkpoint_path, jax.device_get(carry.tracks),
                             np.asarray(carry.prev_gray), frame_idx,
-                            corner_cache=carry.corner_cache)
+                            corner_cache=carry.corner_cache,
+                            lag_buf=jax.device_get(carry.lag_buf))
     if pending is not None:
         rows.append(jax.device_get(
             {k: pending[k] for k in fetch_keys}))

@@ -1,9 +1,9 @@
 """Checkpoint / resume for streaming tracking (SURVEY.md §5).
 
 The entire pipeline state is one small pytree — (TrackState, prev_gray,
-frame_idx, corner cache) — so plain compressed npz is sufficient
-(flax/orbax would be overkill for a few MB of filter state; keep deps
-minimal per SURVEY.md §5).
+frame_idx, corner cache, fixed-lag smoother window) — so plain compressed
+npz is sufficient (flax/orbax would be overkill for a few MB of filter
+state; keep deps minimal per SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -14,15 +14,26 @@ import numpy as np
 
 from ..models.ekf import TrackState
 
+# fixed-lag window entries, in pipeline.Carry.lag_buf order
+_LAG_KEYS = ("lag_xf", "lag_Pf", "lag_xp", "lag_Pp", "lag_tid", "lag_alive")
+
 
 def save_state(path: str, state: TrackState, prev_gray: np.ndarray,
-               frame_idx: int, corner_cache: Tuple = ()) -> None:
+               frame_idx: int, corner_cache: Tuple = (),
+               lag_buf: Tuple = ()) -> None:
     extra = {}
     if corner_cache:
         extra["corner_pts"] = np.asarray(corner_cache[0])
         extra["corner_score"] = np.asarray(corner_cache[1])
     if state.q_scale is not None:
         extra["q_scale"] = np.asarray(state.q_scale)
+    if lag_buf:
+        # the (lag+1)-deep smoother window ((lag+1, K, n[, n]) per entry):
+        # serializing it makes resume BIT-IDENTICAL to an uninterrupted
+        # stream — without it the first `lag` smoothed rows after resume
+        # would lean on a flat re-primed window
+        for k, a in zip(_LAG_KEYS, lag_buf):
+            extra[k] = np.asarray(a)
     np.savez_compressed(
         path,
         x=np.asarray(state.x), P=np.asarray(state.P),
@@ -33,7 +44,9 @@ def save_state(path: str, state: TrackState, prev_gray: np.ndarray,
 
 
 def load_state(path: str) -> Tuple[TrackState, np.ndarray, int,
-                                   Optional[Tuple]]:
+                                   Optional[Tuple], Optional[Tuple]]:
+    """Returns (state, prev_gray, frame_idx, corner_cache, lag_buf);
+    the last two are None when absent from the file (old checkpoints)."""
     with np.load(path) as z:
         state = TrackState(
             x=z["x"], P=z["P"], alive=z["alive"],
@@ -42,4 +55,8 @@ def load_state(path: str) -> Tuple[TrackState, np.ndarray, int,
         corner_cache = None
         if "corner_pts" in z:
             corner_cache = (z["corner_pts"], z["corner_score"])
-        return state, z["prev_gray"], int(z["frame_idx"]), corner_cache
+        lag_buf = None
+        if _LAG_KEYS[0] in z:
+            lag_buf = tuple(z[k] for k in _LAG_KEYS)
+        return state, z["prev_gray"], int(z["frame_idx"]), corner_cache, \
+            lag_buf

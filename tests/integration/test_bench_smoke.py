@@ -22,9 +22,13 @@ def _force_xla_impl(monkeypatch):
 
 def test_bench_fused_pipeline_smoke():
     import bench
-    fps = bench.bench_fused_pipeline(64, 64, t=4, num_tracks=16,
-                                     state_dim=4, flow_method="farneback")
+    fps, extra = bench.bench_fused_pipeline(64, 64, t=4, num_tracks=16,
+                                            state_dim=4,
+                                            flow_method="farneback",
+                                            repeats=2)
     assert np.isfinite(fps) and fps > 0
+    assert extra["fps_median_of"] == 2
+    assert extra["fps_spread_pct"] >= 0
 
 
 def test_bench_epe_smoke():

@@ -145,10 +145,10 @@ def test_fixed_lag_takes_precedence_over_chunk():
 
 
 def test_fixed_lag_survives_checkpoint_resume(tmp_path):
-    """Resume re-primes the lag window from the restored state (the
-    window itself is not checkpointed): the resumed run must produce
-    finite, shape-correct smoothed output and agree with the
-    uninterrupted run away from the resume boundary."""
+    """The smoother window is checkpointed (utils/checkpoint._LAG_KEYS),
+    so resume is BIT-IDENTICAL to the uninterrupted stream — including
+    the first `lag` smoothed rows after the resume point, which used to
+    lean on a flat re-primed window (round-2 verdict item 6)."""
     frames, _ = moving_blob_clip(num_frames=18, height=64, width=64,
                                  seed=12)
     cfg = _cfg_lag(4)
@@ -160,10 +160,30 @@ def test_fixed_lag_survives_checkpoint_resume(tmp_path):
     resumed = pl.track_stream(iter(frames), cfg, checkpoint_path=ck,
                               resume=True)
     assert resumed.smoothed is not None
+    # resumed rows cover frames 9..17; EVERY row (positions and smoothed,
+    # including those straddling the resume boundary) must match the
+    # uninterrupted run exactly
+    np.testing.assert_allclose(resumed.positions, full.positions[9:],
+                               atol=1e-6)
+    np.testing.assert_allclose(resumed.smoothed, full.smoothed[9:],
+                               atol=1e-6)
+
+
+def test_fixed_lag_resume_old_checkpoint_without_window(tmp_path):
+    """Old checkpoints (no lag_* entries) still resume — falling back to
+    the flat re-primed window — rather than erroring."""
+    from kalman_hydra_tpu.utils import checkpoint as ckpt
+    frames, _ = moving_blob_clip(num_frames=14, height=64, width=64,
+                                 seed=13)
+    cfg = _cfg_lag(3)
+    ck = str(tmp_path / "old.npz")
+    pl.track_stream(iter(frames[:8]), cfg, checkpoint_path=ck,
+                    checkpoint_every=7)
+    # strip the window entries to emulate a round-2 checkpoint
+    state, prev_gray, idx, ccache, lbuf = ckpt.load_state(ck)
+    assert lbuf is not None
+    ckpt.save_state(ck, state, prev_gray, idx, corner_cache=ccache or ())
+    resumed = pl.track_stream(iter(frames), cfg, checkpoint_path=ck,
+                              resume=True)
+    assert resumed.smoothed is not None
     assert np.isfinite(resumed.smoothed).all()
-    # positions (filter state) continue exactly; smoothed tails agree
-    # once the window has refilled with real history
-    np.testing.assert_allclose(resumed.positions[-1],
-                               full.positions[-1], atol=1e-3)
-    d = np.linalg.norm(resumed.smoothed[-4:] - full.smoothed[-4:], axis=-1)
-    assert float(d.max()) < 0.05

@@ -167,18 +167,13 @@ def main():
                                    np.arange(40, 230, 40)), -1)
         pts = pts.reshape(-1, 2).astype(np.float32)
         t0 = time.time()
-        try:
-            gp, gs = lk_pl(a_d, b_d, jnp.asarray(pts), cfg)
-            rp, rs = lk_xla(a_d, b_d, jnp.asarray(pts), cfg)
-            m = np.asarray(gs) & np.asarray(rs)
-            ok &= check(f"lk ({time.time()-t0:.0f}s)",
-                        np.asarray(gp)[m], np.asarray(rp)[m], 0.05)
-        except ValueError as e:
-            # known Mosaic limitation: the per-point kernel's (1, 2)
-            # output blocks violate the block-shape rule — interpret-only;
-            # the pipeline's hardware path is the batched K-last XLA one
-            print(f"lk: SKIP (expected Mosaic block-shape reject: "
-                  f"{str(e)[:80]})", flush=True)
+        # no try/except here: the aligned-DMA lk kernel is hardware-verified
+        # (round 2) — a Mosaic rejection is a REGRESSION and must fail the run
+        gp, gs = lk_pl(a_d, b_d, jnp.asarray(pts), cfg)
+        rp, rs = lk_xla(a_d, b_d, jnp.asarray(pts), cfg)
+        m = np.asarray(gs) & np.asarray(rs)
+        ok &= check(f"lk ({time.time()-t0:.0f}s)",
+                    np.asarray(gp)[m], np.asarray(rp)[m], 0.05)
 
     print(f"PALLAS HW TEST: {'ALL OK' if ok else 'FAILURES'}", flush=True)
     sys.exit(0 if ok else 1)
