@@ -4,7 +4,9 @@
 
 The Hydra-behavior workflow the reference was built for (SURVEY.md §0):
 find the animal, put a mesh on it, track the mesh through the clip, and
-quantify deformation per triangle.
+quantify deformation per triangle — here on a synthetic deforming body
+whose affine stretch is known analytically, so the demo ends by scoring
+its own strain estimate against ground truth.
 """
 
 import argparse
@@ -24,20 +26,21 @@ def main():
 
     import jax.numpy as jnp
     from kalman_hydra_tpu import pipeline as pl
-    from kalman_hydra_tpu.config import FlowConfig, RunConfig, TrackConfig
-    from kalman_hydra_tpu.io.synthetic import moving_blob_clip
+    from kalman_hydra_tpu.config import (EkfConfig, FlowConfig, RunConfig,
+                                         SmoothConfig, TrackConfig)
+    from kalman_hydra_tpu.io.synthetic import deforming_body_clip
     from kalman_hydra_tpu.models import mesh as M
     from kalman_hydra_tpu.ops import segment as seg
     from kalman_hydra_tpu.ops.color import grayscale_u8
 
-    print("synthesizing a deforming-body clip...")
-    frames, _ = moving_blob_clip(num_frames=12, height=160, width=160,
-                                 blob_sigma=22.0, num_points=4, seed=5)
+    print("synthesizing a deforming-body clip (affine stretch, known truth)...")
+    frames, _truth, strain_true = deforming_body_clip(
+        num_frames=12, stretch=(0.15, -0.10), omega=0.5)
 
     print("segmenting the body...")
     gray0 = grayscale_u8(jnp.asarray(frames[0]))
     mask = np.asarray(seg.segment_body(gray0))
-    interior = np.asarray(seg._pool(jnp.asarray(mask), 21, "min"))
+    interior = np.asarray(seg._pool(jnp.asarray(mask), 13, "min"))
     print(f"  body covers {mask.mean():.0%} of the frame")
 
     print("building the mesh...")
@@ -45,43 +48,51 @@ def main():
     print(f"  {len(mesh.vertices)} vertices, {len(mesh.triangles)} triangles")
 
     print("tracking mesh vertices (first call compiles)...")
-    cfg = RunConfig(flow=FlowConfig(levels=3, fast_warp=8),
+    cfg = RunConfig(flow=FlowConfig(levels=3),
+                    ekf=EkfConfig(state_dim=4, measurement="implicit_flow",
+                                  q=8.0),
                     tracks=TrackConfig(num_tracks=len(mesh.vertices),
-                                       reinit=False))
+                                       reinit=False, init_velocity=True),
+                    smooth=SmoothConfig(enabled=True))
     tr = pl.track_clip(frames, cfg, seeds=mesh.vertices)
+    print(f"  live vertices at end: {tr.alive[-1].mean():.0%}")
 
-    print("computing per-triangle strain...")
-    strain = M.mesh_strain_sequence(mesh, tr.positions)
-    area = strain["area_ratio"]
-    print(f"  area ratio: mean {area.mean():.3f} "
-          f"(rigid motion => ~1.0), max dev {np.abs(area - 1).max():.3f}")
+    print("computing per-triangle strain vs analytic deformation...")
+    strain = M.mesh_strain_sequence(mesh, tr.smoothed)
+    F = strain["F"]
+    exx = F[:, :, 0, 0].mean(axis=1) - 1.0
+    eyy = F[:, :, 1, 1].mean(axis=1) - 1.0
+    err_x = np.abs(exx - strain_true[:, 0]).max()
+    err_y = np.abs(eyy - strain_true[:, 1]).max()
+    print("   t   exx_est  exx_true  eyy_est  eyy_true")
+    for t in range(len(exx)):
+        print(f"  {t:2d}  {exx[t]:+.4f}  {strain_true[t, 0]:+.4f}"
+              f"  {eyy[t]:+.4f}  {strain_true[t, 1]:+.4f}")
+    print(f"  max strain error: exx {err_x:.4f}, eyy {err_y:.4f} "
+          f"(peak deformation 0.15)")
 
-    print("dynamic remeshing on a 2x synthetic stretch...")
-    # stretch the tracked configuration synthetically to demonstrate
-    # strain-triggered re-meshing (the reference re-meshed as the body
-    # deformed, SURVEY.md §2.1 #7)
-    T = len(tr.positions)
-    s = 1.0 + 1.2 * np.arange(T, dtype=np.float32)[:, None, None] / (T - 1)
-    stretched = tr.positions * np.concatenate(
-        [s, np.ones_like(s)], axis=-1)
-    dyn = M.mesh_strain_sequence_dynamic(mesh, stretched,
-                                         shear_threshold=1.4,
+    print("strain-triggered dynamic remeshing on the tracked deformation...")
+    dyn = M.mesh_strain_sequence_dynamic(mesh, tr.positions,
+                                         shear_threshold=1.08,
                                          min_quality=0.15)
     print(f"  remesh events at frames {dyn['events']}; "
           f"shear p95 max {dyn['max_shear_p95'].max():.2f} "
-          f"(bounded by the 1.4 trigger), "
+          f"(bounded by the 1.08 trigger), "
           f"quality floor {dyn['quality_min'].min():.2f}")
 
     np.savez_compressed(
         os.path.join(args.out_dir, "mesh_tracks.npz"),
         vertices=mesh.vertices, triangles=mesh.triangles,
-        positions=tr.positions, area_ratio=area,
+        positions=tr.positions, smoothed=tr.smoothed,
+        exx=exx, eyy=eyy, strain_true=strain_true,
         max_shear=strain["max_shear"],
         dyn_shear_p95=dyn["max_shear_p95"],
         dyn_quality_min=dyn["quality_min"],
         dyn_events=np.asarray(dyn["events"], np.int32))
-    print("done ->", args.out_dir)
+    ok = err_x < 0.06 and err_y < 0.05 and len(dyn["events"]) >= 1
+    print(("OK" if ok else "DEGRADED"), "->", args.out_dir)
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
