@@ -118,16 +118,20 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
     bf16 = os.environ.get("KH_BF16_POLY", "1") == "1"
     batch = int(os.environ.get("KH_BATCH", "1"))
     lk_halo = int(os.environ.get("KH_LK_HALO", "8"))
+    lk_solver = os.environ.get("KH_LK_SOLVER", "corr")
     cfg = RunConfig(
         # cv2-default Farneback params (15/5/3, poly 5/1.1); fast_warp
         # replaces the TPU-hostile gather warp with the select-sum warp
         # (<0.01 px EPE delta, PARITY.md) — set KH_FAST_WARP=0 for exact,
         # KH_BF16_POLY=0 for f32 planes, KH_BATCH=N for vmapped clips,
-        # KH_LK_HALO=0 for exact per-iteration sparse-LK slices
+        # KH_LK_HALO=0 for exact per-iteration sparse-LK slices,
+        # KH_LK_SOLVER=blockhalo|corr|corr_conv for the level-solver A/B
         flow=FlowConfig(method=flow_method, fast_warp=fast_warp,
                         bf16_poly=bf16 and flow_method == "farneback",
                         lk_block_halo=(lk_halo if flow_method == "lk_sparse"
-                                       else 0)),
+                                       else 0),
+                        lk_solver=(lk_solver if flow_method == "lk_sparse"
+                                   else "blockhalo")),
         ekf=EkfConfig(state_dim=state_dim),
         tracks=TrackConfig(num_tracks=num_tracks,
                            corner_pool=max(256, num_tracks)),
@@ -279,19 +283,28 @@ def bench_decode_in_loop(h=1080, w=1920, t=17, num_tracks=1024,
     carry, _ = step_fn(carry, jnp.asarray(host_frames[1]))
     _ = float(np.asarray(jnp.sum(carry.tracks.x) * 1e-6))
 
+    # decode + H2D + compute fully pipelined: a background thread decodes
+    # and device_puts ahead (io.video.device_prefetch), so the run is
+    # bounded by the SLOWEST stage, not their sum. On this relay host the
+    # wall is H2D (~73 ms/frame gray); overlap_efficiency reports how much
+    # of that bound the end-to-end number achieves (1.0 = compute and
+    # decode fully hidden under the transfer).
+    from kalman_hydra_tpu.io.video import device_prefetch
     stream, loader = open_stream()
-    it = iter(stream)
+    it = device_prefetch(iter(stream), depth=2)
     t0 = time.time()
-    carry = init_fn(jnp.asarray(next(it)), cfg)
+    carry = init_fn(next(it), cfg)
     n = 1
     for frame in it:
-        carry, _out = step_fn(carry, jnp.asarray(frame))
+        carry, _out = step_fn(carry, frame)
         n += 1
     _ = float(np.asarray(jnp.sum(carry.tracks.x) * 1e-6))  # sync
     e2e_s = time.time() - t0
     fps_e2e = (n - 1) / e2e_s
-    log(f"end-to-end ({loader}): {fps_e2e:.2f} fps over {n} frames "
-        f"({e2e_s:.2f}s wall)")
+    bound_s = max(h2d_s, decode_s)
+    log(f"end-to-end ({loader}, prefetch depth 2): {fps_e2e:.2f} fps over "
+        f"{n} frames ({e2e_s:.2f}s wall); slowest-stage bound "
+        f"{1.0 / bound_s:.2f} fps")
     if not video_path:
         try:
             os.remove(tmp)
@@ -300,6 +313,7 @@ def bench_decode_in_loop(h=1080, w=1920, t=17, num_tracks=1024,
     return {"fps_end_to_end": round(fps_e2e, 3),
             "decode_ms_per_frame": round(decode_s * 1e3, 2),
             "h2d_ms_per_frame": round(h2d_s * 1e3, 2),
+            "overlap_efficiency": round(fps_e2e * bound_s, 3),
             "decode_loader": loader}
 
 

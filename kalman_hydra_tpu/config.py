@@ -54,6 +54,18 @@ class FlowConfig:
                                # contraction) and iterates gather-free
                                # inside it, clamping per-level displacement
                                # to the halo; 0 = exact per-iter slices
+    lk_solver: str = "blockhalo"  # batched level-solver formulation
+                               # (lk_block_halo > 0 only): "blockhalo" =
+                               # per-iteration select-sum sub-blocks;
+                               # "corr" / "corr_conv" = correlation-table
+                               # iterations (same math exactly — b(o) is
+                               # bilinear in the block, so all integer-
+                               # offset correlations are precomputed once
+                               # and each Gauss-Newton step is an O(K)
+                               # table lookup + 2x2 solve, with early-exit
+                               # while_loop); _conv builds the tables as
+                               # one depthwise conv instead of static
+                               # slice-reduces (TPU lowering A/B)
 
     def __post_init__(self):
         if self.method not in ("farneback", "lk_dense", "lk_sparse"):
@@ -62,6 +74,8 @@ class FlowConfig:
             raise ValueError("pyr_scale must be in (0, 1)")
         if self.poly_n % 2 == 0 or self.lk_winsize % 2 == 0:
             raise ValueError("poly_n and lk_winsize must be odd")
+        if self.lk_solver not in ("blockhalo", "corr", "corr_conv"):
+            raise ValueError(f"unknown lk_solver {self.lk_solver!r}")
 
 
 @dataclass(frozen=True)

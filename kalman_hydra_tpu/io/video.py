@@ -117,6 +117,43 @@ class PrefetchStream:
             yield item
 
 
+def device_prefetch(frames, depth: int = 2):
+    """Generator of DEVICE-resident frames with decode + H2D overlapped
+    against the consumer's compute (SURVEY.md §7 "host decode
+    throughput"; round-2 verdict item 7).
+
+    A background thread decodes and `jax.device_put`s up to `depth`
+    frames ahead; device_put enqueues an async transfer, so while the
+    pipeline computes on frame t, frame t+1's bytes are already moving
+    over the host->device link. On a PCIe host this turns the streaming
+    path decode-bound; on the axon relay (28 MB/s H2D) it hides the
+    compute + decode under the transfer wall instead.
+
+    Exceptions in the worker propagate to the consumer.
+    """
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    end = object()
+
+    def worker():
+        try:
+            for f in frames:
+                q.put(jax.device_put(np.ascontiguousarray(f)))
+            q.put(end)
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is end:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def write_video(path: str, frames: np.ndarray, fps: float = 30.0) -> None:
     """Write (T, H, W, 3) BGR uint8 frames (debug overlays; host, post-hoc)."""
     if path.endswith(".npz"):

@@ -53,12 +53,24 @@ def _damp_vec(abs_idx, limit):
 
 
 def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
-                      rows: int, weights, r0_hbm, r1_hbm, fl_hbm, out_ref,
-                      r0_s, r1_s, fl_s, sem):
+                      rows: int, weights, has_row0, *refs):
     """Double-buffered slab pipeline: scratch slabs have a leading 2-slot
     axis; step i computes from slot i%2 while the DMAs for tile i+1 land
     in slot (i+1)%2 (started before this step's wait, so the copies
-    overlap the whole compute body)."""
+    overlap the whole compute body).
+
+    has_row0: an extra (1,) int32 SMEM input holds the GLOBAL image row
+    of input row 0 — the spatially-sharded band path (parallel/spatial)
+    runs this kernel on a local row slab, and the OpenCV border damping /
+    M edge replication must use global image coordinates (h is then the
+    global image height)."""
+    if has_row0:
+        (r0_hbm, r1_hbm, fl_hbm, row0_ref, out_ref,
+         r0_s, r1_s, fl_s, sem) = refs
+        row0 = row0_ref[0]
+    else:
+        r0_hbm, r1_hbm, fl_hbm, out_ref, r0_s, r1_s, fl_s, sem = refs
+        row0 = 0
     i = pl.program_id(0)
     nsteps = pl.num_programs(0)
     hb = bw + D                       # warp+box halo
@@ -141,7 +153,7 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
 
     mcols = w + 2 * bw
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 0) \
-        + i * th - bw
+        + i * th - bw + row0
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 1) - bw
     damp = _damp_vec(row_ids, h) * _damp_vec(col_ids, w)
     a_xx = a_xx * damp
@@ -221,10 +233,11 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
 
 @functools.partial(jax.jit, static_argnames=("winsize", "max_disp",
                                              "gaussian", "tile_h",
-                                             "interpret"))
+                                             "interpret", "img_h"))
 def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               winsize: int, max_disp: int, gaussian: bool = False,
-              tile_h: int = 0, interpret: bool = False) -> jnp.ndarray:
+              tile_h: int = 0, interpret: bool = False,
+              row0=None, img_h: int = 0) -> jnp.ndarray:
     """One fused Farneback iteration (warp included).
 
     R0p, R1p: (5, H, W) UNWARPED polyexp planes (f32 or bf16 storage —
@@ -236,6 +249,13 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
     tile_h: grid row-tile height (0 = default). Larger tiles amortize the
     (bw + max_disp)-row halo recompute at the cost of VMEM (A/B'd on v5e:
     see BASELINE.md).
+
+    row0 / img_h: spatially-sharded band mode (parallel/spatial
+    farneback_sharded with impl="pallas") — the inputs are a LOCAL row
+    slab of a globally img_h-tall image whose row 0 sits at traced global
+    row `row0`; border damping and M edge replication then use global
+    coordinates. Requires tile height >= winsize//2 + max_disp + 1 so
+    the global top border falls in grid step 0 (default th=32 is fine).
     """
     _, h, w = R0p.shape
     bw = winsize // 2
@@ -275,10 +295,22 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
     r1 = prep(R1p)
     fl = prep(flow_p)
 
+    has_row0 = row0 is not None
+    hg = img_h if has_row0 else h
+    inputs = (r0, r1, fl)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    if has_row0:
+        # row0 = GLOBAL image row of the caller's input row 0: the kernel
+        # computes local row ids exactly as in single-device mode and
+        # adds this offset, so damping/edge replication see global coords
+        inputs += (jnp.asarray(row0, jnp.int32).reshape(1),)
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
+
     out = pl.pallas_call(
-        functools.partial(_flow_iter_kernel, th, w, h, bw, D, rows, weights),
+        functools.partial(_flow_iter_kernel, th, w, hg, bw, D, rows,
+                          weights, has_row0),
         grid=(h_pad // th,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((2, th, w), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, h_pad, w), jnp.float32),
@@ -292,5 +324,5 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(r0, r1, fl)
+    )(*inputs)
     return out[:, :h, :]

@@ -299,6 +299,147 @@ def _lk_level_batched_klast(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
     return jnp.stack([gx_, gy_], axis=-1), ok, min_eig
 
 
+def _corr_tables(blk_b: jnp.ndarray, t: jnp.ndarray, n_off: int, w: int,
+                 use_conv: bool) -> jnp.ndarray:
+    """All-integer-offset correlation of each point's block with its
+    template: out[o1, o2, k] = sum_s blk_b[o1+s1, o2+s2, k] * t[s1, s2, k].
+
+    use_conv realizes it as ONE depthwise (feature_group_count=K)
+    correlation; otherwise as n_off^2 static slice-multiply-reduces (the
+    two lower differently on TPU — A/B'd bench-level)."""
+    K = blk_b.shape[-1]
+    if use_conv:
+        lhs = jnp.moveaxis(blk_b, -1, 0)[None]            # (1, K, Bb, Bb)
+        rhs = jnp.moveaxis(t, -1, 0)[:, None]             # (K, 1, w, w)
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1, 1), padding="VALID",
+            feature_group_count=K,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST)          # (1, K, n, n)
+        return jnp.moveaxis(out[0], 0, -1)                # (n, n, K)
+    rows = []
+    for o1 in range(n_off):
+        cols = []
+        for o2 in range(n_off):
+            cols.append(jnp.sum(blk_b[o1:o1 + w, o2:o2 + w, :] * t,
+                                axis=(0, 1)))
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)                                # (n, n, K)
+
+
+def _lut_bilinear(C: jnp.ndarray, dy, dx, fy, fx, n_off: int):
+    """Per-lane bilinear lookup into a (n_off, n_off, K) table at integer
+    offsets (dy, dx) in [0, n_off-2] with fractions (fy, fx) — one-hot
+    select-sums over the tiny leading axes (pure lane-parallel VPU)."""
+    top = None
+    bot = None
+    for i in range(n_off - 1):
+        m = dy == i
+        t0 = jnp.where(m, C[i], 0.0)
+        t1 = jnp.where(m, C[i + 1], 0.0)
+        top = t0 if top is None else top + t0
+        bot = t1 if bot is None else bot + t1
+    v = top * (1 - fy) + bot * fy                         # (n_off, K)
+    lft = None
+    rgt = None
+    for j in range(n_off - 1):
+        m = dx == j
+        t0 = jnp.where(m, v[j], 0.0)
+        t1 = jnp.where(m, v[j + 1], 0.0)
+        lft = t0 if lft is None else lft + t0
+        rgt = t1 if rgt is None else rgt + t1
+    return lft * (1 - fx) + rgt * fx                      # (K,)
+
+
+def _lk_level_batched_corr(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig,
+                           use_conv: bool = False):
+    """Correlation-table variant of _lk_level_batched_klast — EXACTLY the
+    same math, restructured so the Gauss-Newton iterations cost O(K)
+    instead of O(w^2 Bb K) each.
+
+    Key identity: the bilinear-shifted patch is LINEAR in the block, so
+    the residual projections b = sum((patch_b - patch_a) * grad) at any
+    subpixel offset are bilinear interpolations of the integer-offset
+    correlation tables corr_g(o) = sum_s blk_b[o+s] g[s]. The tables are
+    built ONCE per level (the only O(w^2) work); each iteration is then a
+    tiny per-lane table lookup + 2x2 solve. Early exit: the masked
+    updates already freeze converged points, so a while_loop on
+    any(active) terminates early with bit-identical results.
+    """
+    w = cfg.lk_winsize
+    half = (w - 1) * 0.5
+    D = cfg.lk_block_halo
+    Bb = w + 1 + 2 * D
+    D2 = 2 * D
+    n_off = D2 + 2
+    Hp, Wp = pb.shape
+
+    abase_x = jnp.floor(pt_l[:, 0] - half).astype(jnp.int32)
+    abase_y = jnp.floor(pt_l[:, 1] - half).astype(jnp.int32)
+    stack_a = jnp.stack([pa, pgx, pgy], axis=0)
+    blks_a = _gather_blocks_klast(stack_a, abase_y, abase_x, w + 1)
+    fax = (pt_l[:, 0] - half - abase_x)[None, None, :]
+    fay = (pt_l[:, 1] - half - abase_y)[None, None, :]
+
+    def bshift(blk, fx, fy):
+        return (blk[..., :w, :w, :] * (1 - fx) * (1 - fy)
+                + blk[..., :w, 1:w + 1, :] * fx * (1 - fy)
+                + blk[..., 1:w + 1, :w, :] * (1 - fx) * fy
+                + blk[..., 1:w + 1, 1:w + 1, :] * fx * fy)
+
+    patches = bshift(blks_a, fax, fay)                    # (3, w, w, K)
+    patch_a, pgx_p, pgy_p = patches[0], patches[1], patches[2]
+
+    g11 = jnp.sum(pgx_p * pgx_p, axis=(0, 1))
+    g12 = jnp.sum(pgx_p * pgy_p, axis=(0, 1))
+    g22 = jnp.sum(pgy_p * pgy_p, axis=(0, 1))
+    min_eig = ((g11 + g22) - jnp.sqrt((g11 - g22) ** 2 + 4.0 * g12 ** 2)) \
+        * 0.5 / (w * w)
+    det = g11 * g22 - g12 * g12
+    ok = (min_eig > cfg.lk_min_eig) & (det > 1e-12)
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    eps2 = jnp.float32(cfg.lk_eps * cfg.lk_eps)
+
+    bbase_x = jnp.clip(jnp.floor(guess[:, 0] - half).astype(jnp.int32) - D,
+                       0, Wp - Bb)
+    bbase_y = jnp.clip(jnp.floor(guess[:, 1] - half).astype(jnp.int32) - D,
+                       0, Hp - Bb)
+    blk_b = _gather_blocks_klast(pb[None], bbase_y, bbase_x, Bb)[0]
+    base_x = bbase_x.astype(jnp.float32)
+    base_y = bbase_y.astype(jnp.float32)
+
+    # template-side constants + the two correlation tables (once per level)
+    ca = jnp.sum(patch_a * pgx_p, axis=(0, 1))
+    cb = jnp.sum(patch_a * pgy_p, axis=(0, 1))
+    Cgx = _corr_tables(blk_b, pgx_p, n_off, w, use_conv)
+    Cgy = _corr_tables(blk_b, pgy_p, n_off, w, use_conv)
+
+    def cond(carry):
+        i, _gx, _gy, active = carry
+        return (i < cfg.lk_max_iter) & jnp.any(active)
+
+    def body(carry):
+        i, gx_, gy_, active = carry
+        ox = jnp.clip(gx_ - half - base_x, 0.0, float(D2))
+        oy = jnp.clip(gy_ - half - base_y, 0.0, float(D2))
+        dx_i = jnp.floor(ox).astype(jnp.int32)
+        dy_i = jnp.floor(oy).astype(jnp.int32)
+        fx = ox - dx_i
+        fy = oy - dy_i
+        b1 = _lut_bilinear(Cgx, dy_i, dx_i, fy, fx, n_off) - ca
+        b2 = _lut_bilinear(Cgy, dy_i, dx_i, fy, fx, n_off) - cb
+        dxs = -(g22 * b1 - g12 * b2) * inv_det
+        dys = -(g11 * b2 - g12 * b1) * inv_det
+        gx_n = jnp.where(active, gx_ + dxs, gx_)
+        gy_n = jnp.where(active, gy_ + dys, gy_)
+        still = active & (dxs * dxs + dys * dys > eps2)
+        return i + 1, gx_n, gy_n, still
+
+    _i, gx_, gy_, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), guess[:, 0], guess[:, 1], ok))
+    return jnp.stack([gx_, gy_], axis=-1), ok, min_eig
+
+
 def _lk_level_batched(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
     """One pyramid level for ALL points: batched block extraction + vmapped
     gather-free iterations (cfg.lk_block_halo > 0 path)."""
@@ -396,8 +537,13 @@ def lk_sparse(prev: jnp.ndarray, nxt: jnp.ndarray, pts: jnp.ndarray,
         # the per-point exact path instead — a static, shape-derived choice
         Bb = cfg.lk_winsize + 1 + 2 * cfg.lk_block_halo
         if cfg.lk_block_halo > 0 and min(pa.shape) >= Bb:
-            guess_p, ok, _eig = _lk_level_batched_klast(pa, pb, pgx, pgy,
-                                                        pt_l, guess_p, cfg)
+            if cfg.lk_solver in ("corr", "corr_conv"):
+                guess_p, ok, _eig = _lk_level_batched_corr(
+                    pa, pb, pgx, pgy, pt_l, guess_p, cfg,
+                    use_conv=cfg.lk_solver == "corr_conv")
+            else:
+                guess_p, ok, _eig = _lk_level_batched_klast(
+                    pa, pb, pgx, pgy, pt_l, guess_p, cfg)
         else:
             track = jax.vmap(
                 lambda p, g: _track_point_level(pa, pb, pgx, pgy, p, g, cfg))

@@ -551,8 +551,12 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
     step_fn = jax.jit(lambda c, f: raw_step(c, f))
     pending = None
     frame_idx = start_idx
-    for frame in it:
-        carry, out = step_fn(carry, jnp.asarray(frame))
+    # double-buffered H2D: a background thread decodes + device_puts the
+    # next frames while this loop's step computes, so the transfer of
+    # frame t+1 overlaps the compute of frame t (io.video.device_prefetch)
+    from .io.video import device_prefetch
+    for frame in device_prefetch(it, depth=2):
+        carry, out = step_fn(carry, frame)
         frame_idx += 1
         if pending is not None:
             rows.append(jax.device_get(

@@ -53,3 +53,27 @@ def test_prefetch_stream_preserves_order(tmp_path):
     np.savez_compressed(p, frames=frames)
     got = np.stack(list(PrefetchStream(FrameStream(p), depth=2)))
     assert np.array_equal(got, frames)
+
+
+def test_device_prefetch_preserves_order_and_lands_on_device():
+    from kalman_hydra_tpu.io.video import device_prefetch
+    frames, _ = moving_blob_clip(num_frames=6, height=32, width=32)
+    got = list(device_prefetch(iter(frames), depth=2))
+    assert len(got) == 6
+    import jax
+    assert all(isinstance(g, jax.Array) for g in got)
+    assert np.array_equal(np.stack([np.asarray(g) for g in got]), frames)
+
+
+def test_device_prefetch_propagates_worker_errors():
+    from kalman_hydra_tpu.io.video import device_prefetch
+
+    def bad():
+        yield np.zeros((4, 4), np.uint8)
+        raise RuntimeError("decode failed")
+
+    it = device_prefetch(bad(), depth=2)
+    next(it)
+    import pytest
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(it)

@@ -125,6 +125,44 @@ def test_lk_sparse_block_halo_matches_cv2(pair128):
     assert np.abs(got_pts[m] - ref_pts[m]).max() < 0.05
 
 
+@pytest.mark.parametrize("solver", ["corr", "corr_conv"])
+def test_lk_sparse_corr_solver_matches_blockhalo(pair128, solver):
+    """The correlation-table solver is the SAME math as the block-halo
+    select-sum path (b(o) is bilinear in the block, so all integer-offset
+    correlations are precomputed and each iteration is a table lookup):
+    results must agree to float-reassociation noise, for both table
+    builders (static slice-reduces and the depthwise conv)."""
+    a, b, _ = pair128
+    pts = np.stack(np.meshgrid(np.arange(24, 105, 16),
+                               np.arange(24, 105, 16)), -1)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    base_pts, base_st = L.lk_sparse(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts),
+        FlowConfig(levels=3, lk_block_halo=8))
+    got_pts, got_st = L.lk_sparse(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(pts),
+        FlowConfig(levels=3, lk_block_halo=8, lk_solver=solver))
+    np.testing.assert_array_equal(np.asarray(base_st), np.asarray(got_st))
+    m = np.asarray(base_st)
+    assert np.abs(np.asarray(got_pts)[m]
+                  - np.asarray(base_pts)[m]).max() < 5e-3
+
+
+def test_lk_sparse_corr_solver_matches_cv2(pair128):
+    a, b, _ = pair128
+    cfg = FlowConfig(levels=3, lk_block_halo=8, lk_solver="corr")
+    pts = np.stack(np.meshgrid(np.arange(24, 105, 16),
+                               np.arange(24, 105, 16)), -1)
+    pts = pts.reshape(-1, 2).astype(np.float32)
+    ref_pts, ref_st = ip.lk_sparse(a, b, pts, FlowConfig(levels=3))
+    got_pts, got_st = L.lk_sparse(jnp.asarray(a), jnp.asarray(b),
+                                  jnp.asarray(pts), cfg)
+    got_pts, got_st = np.asarray(got_pts), np.asarray(got_st)
+    assert (ref_st.astype(bool) == got_st).mean() > 0.95
+    m = ref_st.astype(bool) & got_st
+    assert np.abs(got_pts[m] - ref_pts[m]).max() < 0.05
+
+
 def test_lk_sparse_block_halo_tiny_levels_fall_back(rng):
     """Regression: coarse levels smaller than the halo'd block made the
     base clip invalid (min > max) and produced garbage — they must take
