@@ -133,8 +133,13 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
                         lk_solver=(lk_solver if flow_method == "lk_sparse"
                                    else "blockhalo")),
         ekf=EkfConfig(state_dim=state_dim),
+        # KH_REINIT_EVERY=N: corner-pool refresh cadence (the pool is
+        # cached in the scan carry between refreshes; gated re-seeding
+        # itself stays per-frame). 1 = fresh Shi-Tomasi pool every frame.
         tracks=TrackConfig(num_tracks=num_tracks,
-                           corner_pool=max(256, num_tracks)),
+                           corner_pool=max(256, num_tracks),
+                           reinit_every=int(os.environ.get(
+                               "KH_REINIT_EVERY", "1"))),
         impl=pick_impl())
     frames, _truth = make_clip(t, h, w)
     frames_d = jnp.asarray(frames)

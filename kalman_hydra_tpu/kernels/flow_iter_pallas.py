@@ -53,7 +53,7 @@ def _damp_vec(abs_idx, limit):
 
 
 def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
-                      rows: int, weights, has_row0, *refs):
+                      rows: int, weights, has_row0, shift_skip, *refs):
     """Double-buffered slab pipeline: scratch slabs have a leading 2-slot
     axis; step i computes from slot i%2 while the DMAs for tile i+1 land
     in slot (i+1)%2 (started before this step's wait, so the copies
@@ -63,7 +63,17 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
     of input row 0 — the spatially-sharded band path (parallel/spatial)
     runs this kernel on a local row slab, and the OpenCV border damping /
     M edge replication must use global image coordinates (h is then the
-    global image height)."""
+    global image height).
+
+    shift_skip: tile-adaptive select-sum — reduce the tile's integer
+    displacement range to scalars and `pl.when`-skip every shift term
+    outside it. EXACT (skipped terms are identically zero); on smooth
+    flow a 32-row tile spans 2-4 integer displacements, so most of the
+    2(2D+2) warp passes vanish at runtime. Costs two extra VMEM
+    accumulators; worst case (tile spanning all +-D) adds only the
+    accumulator traffic."""
+    if shift_skip:
+        *refs, vacc, racc = refs
     if has_row0:
         (r0_hbm, r1_hbm, fl_hbm, row0_ref, out_ref,
          r0_s, r1_s, fl_s, sem) = refs
@@ -117,28 +127,61 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
     # wj = [y_idx == j-D](1-ay) + [y_idx == j-1-D] ay  — one FMA per
     # shift per plane instead of two where+adds (the warp is VPU-bound)
     ay2 = ay[0]
-    v = None
-    for j in range(2 * D + 2):
-        wj = jnp.where(y_idx == (j - D), 1.0 - ay2, 0.0)
-        if j >= 1:
-            wj = wj + jnp.where(y_idx == (j - 1 - D), ay2, 0.0)
-        t = wj[None] * R1[:, j:j + mrows, :]
-        v = t if v is None else v + t               # (5, mrows, wp)
-
-    # horizontal: shift within the slab's lane halo. Warped column c
-    # (absolute col c - hb in image coords) reads v at c + x_idx.
     mcols = w + 2 * bw
     base = hb - bw
     xm = x_idx[:, base:base + mcols]
     axm2 = ax[0, :, base:base + mcols]
-    R1w = None
-    for j in range(2 * D + 2):
-        sh = j - D
-        wj = jnp.where(xm == sh, 1.0 - axm2, 0.0)
-        if j >= 1:
-            wj = wj + jnp.where(xm == sh - 1, axm2, 0.0)
-        t = wj[None] * v[:, :, base + sh:base + sh + mcols]
-        R1w = t if R1w is None else R1w + t        # (5, mrows, mcols)
+
+    if shift_skip:
+        # tile-adaptive: only shifts inside the tile's displacement range
+        # execute; the rest are skipped by the scalar pl.when guards.
+        # Range over the REAL (edge-padded) columns only — the zero tail
+        # beyond w + 2*hb would clamp to displacement 0 and widen it.
+        ymin = jnp.min(y_idx[:, :w + 2 * hb])
+        ymax = jnp.max(y_idx[:, :w + 2 * hb])
+        vacc[...] = jnp.zeros_like(vacc)
+
+        for j in range(2 * D + 2):
+            @pl.when((j >= ymin + D) & (j <= ymax + D + 1))
+            def _vterm(j=j):
+                wj = jnp.where(y_idx == (j - D), 1.0 - ay2, 0.0)
+                if j >= 1:
+                    wj = wj + jnp.where(y_idx == (j - 1 - D), ay2, 0.0)
+                vacc[...] += wj[None] * R1[:, j:j + mrows, :]
+        v = vacc[...]                               # (5, mrows, wp)
+
+        xmin = jnp.min(xm)
+        xmax = jnp.max(xm)
+        racc[...] = jnp.zeros_like(racc)
+        for j in range(2 * D + 2):
+            sh = j - D
+
+            @pl.when((j >= xmin + D) & (j <= xmax + D + 1))
+            def _hterm(j=j, sh=sh):
+                wj = jnp.where(xm == sh, 1.0 - axm2, 0.0)
+                if j >= 1:
+                    wj = wj + jnp.where(xm == sh - 1, axm2, 0.0)
+                racc[...] += wj[None] * v[:, :, base + sh:base + sh + mcols]
+        R1w = racc[...]                             # (5, mrows, mcols)
+    else:
+        v = None
+        for j in range(2 * D + 2):
+            wj = jnp.where(y_idx == (j - D), 1.0 - ay2, 0.0)
+            if j >= 1:
+                wj = wj + jnp.where(y_idx == (j - 1 - D), ay2, 0.0)
+            t = wj[None] * R1[:, j:j + mrows, :]
+            v = t if v is None else v + t           # (5, mrows, wp)
+
+        # horizontal: shift within the slab's lane halo. Warped column c
+        # (absolute col c - hb in image coords) reads v at c + x_idx.
+        R1w = None
+        for j in range(2 * D + 2):
+            sh = j - D
+            wj = jnp.where(xm == sh, 1.0 - axm2, 0.0)
+            if j >= 1:
+                wj = wj + jnp.where(xm == sh - 1, axm2, 0.0)
+            t = wj[None] * v[:, :, base + sh:base + sh + mcols]
+            R1w = t if R1w is None else R1w + t    # (5, mrows, mcols)
 
     # ---- averaged-matrix normal equations (update_matrices_p) ----
     R0 = r0_s[slot, :, D:D + mrows, hb - bw:hb - bw + w + 2 * bw].astype(
@@ -233,11 +276,13 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
 
 @functools.partial(jax.jit, static_argnames=("winsize", "max_disp",
                                              "gaussian", "tile_h",
-                                             "interpret", "img_h"))
+                                             "interpret", "img_h",
+                                             "shift_skip"))
 def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               winsize: int, max_disp: int, gaussian: bool = False,
               tile_h: int = 0, interpret: bool = False,
-              row0=None, img_h: int = 0) -> jnp.ndarray:
+              row0=None, img_h: int = 0,
+              shift_skip: bool = False) -> jnp.ndarray:
     """One fused Farneback iteration (warp included).
 
     R0p, R1p: (5, H, W) UNWARPED polyexp planes (f32 or bf16 storage —
@@ -306,20 +351,26 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
         inputs += (jnp.asarray(row0, jnp.int32).reshape(1),)
         in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
 
+    mrows = th + 2 * bw
+    scratch = [
+        pltpu.VMEM((2, 5, rows, wp), R0p.dtype),
+        pltpu.VMEM((2, 5, rows, wp), R1p.dtype),
+        pltpu.VMEM((2, 2, rows, wp), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 3)),
+    ]
+    if shift_skip:
+        scratch += [pltpu.VMEM((5, mrows, wp), jnp.float32),
+                    pltpu.VMEM((5, mrows, w + 2 * bw), jnp.float32)]
+
     out = pl.pallas_call(
         functools.partial(_flow_iter_kernel, th, w, hg, bw, D, rows,
-                          weights, has_row0),
+                          weights, has_row0, shift_skip),
         grid=(h_pad // th,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((2, th, w), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, h_pad, w), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, 5, rows, wp), R0p.dtype),
-            pltpu.VMEM((2, 5, rows, wp), R1p.dtype),
-            pltpu.VMEM((2, 2, rows, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -83,6 +83,137 @@ def _band_mats(h: int, w: int, levels: int, pyr_scale: float):
     return tuple(mats)
 
 
+@functools.lru_cache(maxsize=16)
+def _band_mats_padded(h: int, w: int, levels: int, pyr_scale: float,
+                      n: int):
+    """Like _band_mats but each level's matrices emit a REPLICATE-PADDED
+    level image ((lh+2n, lw+2n)): padded row o reads blur row
+    clamp(o-n, 0, lh-1) — so the fused polyexp can run valid-mode
+    correlations directly on the VMEM-resident product, with border
+    semantics identical to correlate1d(border='replicate')."""
+    base = _band_mats(h, w, levels, pyr_scale)
+    out = []
+    for m in base:
+        if m is None:
+            out.append(None)
+            continue
+        V, HmT = m
+        lh = V.shape[0]
+        lw = HmT.shape[1]
+        rows = np.clip(np.arange(-n, lh + n), 0, lh - 1)
+        cols = np.clip(np.arange(-n, lw + n), 0, lw - 1)
+        out.append((V[rows], HmT[:, cols]))
+    return tuple(out)
+
+
+def _levels_polyexp_kernel(nlev: int, n: int, taps, igs, out_dtype,
+                           img_ref, *refs):
+    """Per coarse level: two MXU band contractions -> padded level image
+    in VMEM -> the 9 separable polyexp correlations + inverse-Gram
+    combination (kernels/polyexp_pallas math) -> 5 coefficient planes.
+    One kernel launch for the whole coarse pyramid; level images never
+    touch HBM."""
+    g, xg, xxg = taps
+    ig11, ig03, ig33, ig55 = igs
+    vs = refs[:nlev]
+    hs = refs[nlev:2 * nlev]
+    outs = refs[2 * nlev:]
+    img = img_ref[:]
+    ntaps = 2 * n + 1
+    for vm, hm, o in zip(vs, hs, outs):
+        t = jax.lax.dot(vm[:], img, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+        Lp = jax.lax.dot(t, hm[:], precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        lh = Lp.shape[0] - 2 * n
+        lw = Lp.shape[1] - 2 * n
+        v0 = v1 = v2 = None
+        for k in range(ntaps):
+            row = Lp[k:k + lh, :]
+            t0 = g[k] * row
+            t1 = xg[k] * row
+            t2 = xxg[k] * row
+            v0 = t0 if v0 is None else v0 + t0
+            v1 = t1 if v1 is None else v1 + t1
+            v2 = t2 if v2 is None else v2 + t2
+        m00 = m10 = m20 = m01 = m11 = m02 = None
+        for k in range(ntaps):
+            c0 = v0[:, k:k + lw]
+            c1 = v1[:, k:k + lw]
+            c2 = v2[:, k:k + lw]
+            a = g[k] * c0
+            b = xg[k] * c0
+            c = xxg[k] * c0
+            d = g[k] * c1
+            e = xg[k] * c1
+            f2 = g[k] * c2
+            m00 = a if m00 is None else m00 + a
+            m10 = b if m10 is None else m10 + b
+            m20 = c if m20 is None else m20 + c
+            m01 = d if m01 is None else m01 + d
+            m11 = e if m11 is None else m11 + e
+            m02 = f2 if m02 is None else m02 + f2
+        o[0, :, :] = (m10 * ig11).astype(out_dtype)
+        o[1, :, :] = (m01 * ig11).astype(out_dtype)
+        o[2, :, :] = (m00 * ig03 + m20 * ig33).astype(out_dtype)
+        o[3, :, :] = (m00 * ig03 + m02 * ig33).astype(out_dtype)
+        o[4, :, :] = (m11 * ig55).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "pyr_scale",
+                                             "poly_n", "poly_sigma",
+                                             "out_dtype", "interpret"))
+def coarse_polyexp_fused(img: jnp.ndarray, levels: int, pyr_scale: float,
+                         poly_n: int, poly_sigma: float,
+                         out_dtype=jnp.float32, interpret: bool = False):
+    """Coefficient planes for every COARSE level (plan k >= 1) in ONE
+    kernel launch: blur+resize as banded MXU contractions with the
+    polyexp replicate padding baked into the band matrices, then the
+    polyexp correlations on the VMEM-resident padded level image.
+
+    Returns a list aligned with the coarse entries of farneback_levels
+    (coarsest first); level 0 is the caller's business (its polyexp
+    kernel over the full-res image is the dominant cost and already
+    one launch). Fuses what used to be 1 levels launch + (nlev-1)
+    polyexp launches, and drops the level-image HBM round trip.
+    """
+    from ..ops.farneback import _poly_inv_gram
+    h, w = img.shape
+    n = poly_n
+    g, ig11, ig03, ig33, ig55 = _poly_inv_gram(n, float(poly_sigma))
+    i = np.arange(-n, n + 1, dtype=np.float32)
+    taps = (tuple(np.float32(v) for v in g),
+            tuple(np.float32(v) for v in (i * g)),
+            tuple(np.float32(v) for v in (i * i * g)))
+    igs = (float(ig11), float(ig03), float(ig33), float(ig55))
+
+    plan = farneback_levels(h, w, levels, pyr_scale)
+    mats = _band_mats_padded(h, w, levels, float(pyr_scale), n)
+    coarse = [(lh, lw) for (k, lh, lw, _s, _ks) in plan if k != 0]
+    if not coarse:
+        return []
+    vs = [jnp.asarray(mats[i][0]) for i, p in enumerate(plan) if p[0] != 0]
+    hs = [jnp.asarray(mats[i][1]) for i, p in enumerate(plan) if p[0] != 0]
+    nl = len(coarse)
+    outs = pl.pallas_call(
+        functools.partial(_levels_polyexp_kernel, nl, n, taps, igs,
+                          out_dtype),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * nl + 1),
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in range(nl)),
+        out_shape=tuple(jax.ShapeDtypeStruct((5, lh, lw), out_dtype)
+                        for (lh, lw) in coarse),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(img.astype(jnp.float32), *vs, *hs)
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    return list(outs)
+
+
 def _levels_kernel(nlev: int, img_ref, *refs):
     # refs = V_1..V_n, HmT_1..HmT_n, out_1..out_n
     vs = refs[:nlev]

@@ -411,8 +411,23 @@ def polyexp_pyramid(img: jnp.ndarray, cfg: FlowConfig, impl: str = "xla",
     the planes with the fused Pallas kernel (same caching contract)."""
     dt = jnp.bfloat16 if cfg.bf16_poly else jnp.float32
     if impl == "pallas":
-        from ..kernels.level_image_pallas import farneback_images_pallas
         from ..kernels.polyexp_pallas import poly_expansion_planar as _pe
+        import os as _os
+        if _os.environ.get("KH_PE_FUSED", "1") == "1":
+            # coarse levels: ONE launch for blur+resize+polyexp (level
+            # images stay in VMEM); level 0: blur in XLA (3 taps), the
+            # full-res polyexp kernel. KH_PE_FUSED=0 falls back to the
+            # per-stage kernels (trace-time knob, same caveat as KH_FI_TH)
+            from ..kernels.level_image_pallas import coarse_polyexp_fused
+            from .pyramid import farneback_levels, gaussian_blur_level
+            coarse = coarse_polyexp_fused(img, cfg.levels, cfg.pyr_scale,
+                                          cfg.poly_n, cfg.poly_sigma,
+                                          out_dtype=dt, interpret=interpret)
+            img0 = gaussian_blur_level(img.astype(jnp.float32), cfg, k=0)
+            fine = _pe(img0, cfg.poly_n, cfg.poly_sigma, out_dtype=dt,
+                       interpret=interpret)
+            return tuple(coarse) + (fine,)
+        from ..kernels.level_image_pallas import farneback_images_pallas
         imgs = farneback_images_pallas(img, cfg.levels, cfg.pyr_scale,
                                        interpret=interpret)
         return tuple(_pe(i, cfg.poly_n, cfg.poly_sigma, out_dtype=dt,
@@ -460,12 +475,17 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                     # later in the same process has no effect on an
                     # already-traced callable; A/B sweeps must use a fresh
                     # interpreter per setting (bench.py does).
+                    # KH_FI_SKIP=1: tile-adaptive shift skipping (exact;
+                    # pl.when-guards warp shifts outside the tile's
+                    # displacement range). Same trace-time caveat.
                     import os as _os
                     flow_p = _fi(R0p, R1p, flow_p,
                                  cfg.winsize, cfg.fast_warp,
                                  cfg.gaussian_win,
                                  tile_h=int(_os.environ.get("KH_FI_TH",
                                                             "0")),
+                                 shift_skip=_os.environ.get(
+                                     "KH_FI_SKIP", "0") == "1",
                                  interpret=interpret)
                 else:
                     # exact-warp path: gather in XLA, rest fused. This is

@@ -106,6 +106,38 @@ def test_flow_iter_kernel_tile_heights(tile_h, rng):
     assert float(jnp.abs(got - ref).max()) < 1e-6
 
 
+def test_flow_iter_kernel_shift_skip_exact(rng):
+    """Tile-adaptive shift skipping must be EXACT: every skipped warp
+    term is identically zero for the tile's displacement range."""
+    from kalman_hydra_tpu.kernels.flow_iter_pallas import flow_iter
+    h, w = 70, 90
+    R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    for fl in (jnp.asarray(rng.uniform(-5, 5, (2, h, w)).astype(np.float32)),
+               jnp.broadcast_to(jnp.asarray([3.2, -1.7], jnp.float32)
+                                [:, None, None], (2, h, w))):
+        ref = flow_iter(R0, R1, fl, 15, 8, False, interpret=True)
+        got = flow_iter(R0, R1, fl, 15, 8, False, interpret=True,
+                        shift_skip=True)
+        assert float(jnp.abs(got - ref).max()) < 1e-6
+
+
+def test_flow_iter_kernel_band_mode(rng):
+    """Band mode (row0/img_h): a mid-image slab with its global row
+    offset reproduces the full-image rows in the band interior."""
+    from kalman_hydra_tpu.kernels.flow_iter_pallas import flow_iter
+    h, w = 96, 90
+    R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    fl = jnp.asarray(rng.uniform(-5, 5, (2, h, w)).astype(np.float32))
+    full = flow_iter(R0, R1, fl, 15, 8, False, interpret=True)
+    RP = 16                      # bw + D + 1 reach
+    r0b, r1b = 32 - RP, 64 + RP
+    band = flow_iter(R0[:, r0b:r1b], R1[:, r0b:r1b], fl[:, r0b:r1b],
+                     15, 8, False, interpret=True, row0=r0b, img_h=h)
+    assert float(jnp.abs(band[:, RP:-RP] - full[:, 32:64]).max()) < 1e-5
+
+
 def test_flow_iter_kernel_bf16_planes(rng):
     """bf16 plane slabs (half the DMA bytes): storage-only precision loss —
     must track the f32 kernel to bf16 rounding of the inputs."""
@@ -247,6 +279,29 @@ def test_lk_sparse_kernel_matches_xla():
     assert (np.asarray(ref_st) == np.asarray(got_st)).all()
     m = np.asarray(ref_st) & np.asarray(got_st)
     assert np.abs(np.asarray(got_pts)[m] - np.asarray(ref_pts)[m]).max() < 1e-3
+
+
+def test_coarse_polyexp_fused_matches_per_stage():
+    """The fused coarse-level blur+resize+polyexp kernel (one launch, no
+    level-image HBM round trip, replicate padding baked into the band
+    matrices) must match the XLA farneback_images + poly_expansion_p
+    per-stage reference for every coarse level."""
+    from kalman_hydra_tpu.config import FlowConfig
+    from kalman_hydra_tpu.io.synthetic import translating_pair
+    from kalman_hydra_tpu.kernels.level_image_pallas import (
+        coarse_polyexp_fused)
+    from kalman_hydra_tpu.ops.pyramid import farneback_images
+    a, _, _ = translating_pair(height=150, width=200)
+    cfg = FlowConfig(levels=3)
+    fused = coarse_polyexp_fused(jnp.asarray(a), cfg.levels, cfg.pyr_scale,
+                                 cfg.poly_n, cfg.poly_sigma, interpret=True)
+    imgs = farneback_images(jnp.asarray(a, jnp.float32), cfg.levels,
+                            cfg.pyr_scale)
+    # fused covers the coarse entries (all but the last/full-res level)
+    assert len(fused) == len(imgs) - 1
+    for f, img in zip(fused, imgs[:-1]):
+        ref = FB.poly_expansion_p(img, cfg.poly_n, cfg.poly_sigma)
+        assert float(jnp.abs(f - ref).max()) < 1e-3
 
 
 def test_farneback_pallas_bf16_exact_warp_matches_xla():

@@ -133,6 +133,25 @@ def main():
         got = flow_iter(R0.astype(jnp.bfloat16), R1.astype(jnp.bfloat16),
                         fl, 15, 8, False)
         ok &= check("flow_iter bf16", got, ref, 0.05)
+        # tile-adaptive shift skipping (exact: skipped terms are zero)
+        got = flow_iter(R0, R1, fl, 15, 8, False, shift_skip=True)
+        ok &= check("flow_iter shift_skip", got, ref, 1e-3)
+        got = flow_iter(R0.astype(jnp.bfloat16), R1.astype(jnp.bfloat16),
+                        fl, 15, 8, False, shift_skip=True)
+        ok &= check("flow_iter shift_skip bf16", got, ref, 0.05)
+        # band mode (sharded row slabs): a mid-image slab with its global
+        # row offset must reproduce the full-image rows exactly in the
+        # band interior (reach bw + D + 1 = 16 rows)
+        RP = 16
+        r0b, r1b = 64 - RP, 128 + RP
+        got_b = flow_iter(R0[:, r0b:r1b], R1[:, r0b:r1b],
+                          jnp.asarray(ref)[:, r0b:r1b], 15, 8, False,
+                          row0=r0b, img_h=R0.shape[1])
+        ref_b = update_flow_p(
+            update_matrices_p(R0, R1, jnp.asarray(ref), fast_warp=8)
+            .astype(jnp.float32), 15, False)
+        ok &= check("flow_iter band", got_b[:, RP:-RP], ref_b[:, 64:128],
+                    1e-3)
 
     if "ekf" in which:
         from kalman_hydra_tpu.kernels.ekf_pallas import ekf_fused_step
