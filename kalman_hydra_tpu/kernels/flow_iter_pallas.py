@@ -53,7 +53,8 @@ def _damp_vec(abs_idx, limit):
 
 
 def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
-                      rows: int, weights, has_row0, shift_skip, *refs):
+                      rows: int, weights, has_row0, shift_skip,
+                      vbox_mxu, *refs):
     """Double-buffered slab pipeline: scratch slabs have a leading 2-slot
     axis; step i computes from slot i%2 while the DMAs for tile i+1 land
     in slot (i+1)%2 (started before this step's wait, so the copies
@@ -198,7 +199,9 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 0) \
         + i * th - bw + row0
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 1) - bw
-    damp = _damp_vec(row_ids, h) * _damp_vec(col_ids, w)
+    # damping varies only along each axis: build the two 1-D tapers and
+    # outer-product them — 10 selects on vectors instead of full tiles
+    damp = _damp_vec(row_ids[:, 0:1], h) * _damp_vec(col_ids[0:1, :], w)
     a_xx = a_xx * damp
     a_yy = a_yy * damp
     axy = axy * damp
@@ -220,35 +223,66 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
     top_sel = (ir == 0)
     bot_sel = (ir == h - 1)
 
-    def border_fix(m):
-        top_row = jnp.sum(jnp.where(top_sel, m, 0.0), axis=0, keepdims=True)
-        bot_row = jnp.sum(jnp.where(bot_sel, m, 0.0), axis=0, keepdims=True)
-        m = jnp.where(ir < 0, top_row, m)
-        m = jnp.where(ir > h - 1, bot_row, m)
+    def row_fix(ms):
+        out = []
+        for m in ms:
+            top_row = jnp.sum(jnp.where(top_sel, m, 0.0), axis=0,
+                              keepdims=True)
+            bot_row = jnp.sum(jnp.where(bot_sel, m, 0.0), axis=0,
+                              keepdims=True)
+            m = jnp.where(ir < 0, top_row, m)
+            m = jnp.where(ir > h - 1, bot_row, m)
+            out.append(m)
+        return tuple(out)
+
+    # only tiles straddling the image top/bottom have out-of-image M rows
+    # to replicate — guard the 5 x (2 reduce + 2 select) passes on a
+    # scalar so interior tiles skip them entirely
+    tile_lo = i * th - bw + row0
+    at_border = (tile_lo < 0) | (tile_lo + mrows > h)
+    m0, m1, m2, m3, m4 = jax.lax.cond(at_border, row_fix,
+                                      lambda ms: ms, (m0, m1, m2, m3, m4))
+
+    def col_fix(m):
         m = jnp.where(ic < 0, m[:, bw:bw + 1], m)
         m = jnp.where(ic > w - 1, m[:, w + bw - 1:w + bw], m)
         return m
 
-    m0, m1, m2, m3, m4 = (border_fix(m) for m in (m0, m1, m2, m3, m4))
+    m0, m1, m2, m3, m4 = (col_fix(m) for m in (m0, m1, m2, m3, m4))
 
     # ---- separable winsize smoothing + 2x2 solve ----
     taps = 2 * bw + 1
     box_split = weights is None        # uniform box, 3xA factored
+    Bv = None
+    if box_split and vbox_mxu:
+        # vertical box as ONE banded-matrix MXU contraction per plane:
+        # out[r] = sum_{j < taps} m[r + j] — the (th, mrows) 0/1 band
+        # matrix is built from iotas (no constant traffic) and the dot
+        # replaces 3 + taps//3 VPU passes over the full tile. The MXU is
+        # idle in this kernel otherwise; HIGHEST keeps f32 exactness.
+        ri = jax.lax.broadcasted_iota(jnp.int32, (th, mrows), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (th, mrows), 1)
+        Bv = ((ci >= ri) & (ci < ri + taps)).astype(jnp.float32)
     outs = []
     for m in (m0, m1, m2, m3, m4):
         if box_split:
             a = taps // 3
             inv = 1.0 / taps
-            # box(3a) = box3 then stride-3 box_a (exact regrouping):
-            # 3 + a shifted adds instead of 3a per axis
-            s3 = None
-            for k in range(3):
-                t = m[k:k + th + taps - 3, :]
-                s3 = t if s3 is None else s3 + t
-            vsum = None
-            for j in range(a):
-                t = s3[3 * j:3 * j + th, :]
-                vsum = t if vsum is None else vsum + t
+            if Bv is not None:
+                vsum = jax.lax.dot(Bv, m,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32)
+            else:
+                # box(3a) = box3 then stride-3 box_a (exact regrouping):
+                # 3 + a shifted adds instead of 3a per axis
+                s3 = None
+                for k in range(3):
+                    t = m[k:k + th + taps - 3, :]
+                    s3 = t if s3 is None else s3 + t
+                vsum = None
+                for j in range(a):
+                    t = s3[3 * j:3 * j + th, :]
+                    vsum = t if vsum is None else vsum + t
             s3h = None
             for k in range(3):
                 t = vsum[:, k:k + w + taps - 3]
@@ -277,12 +311,13 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
 @functools.partial(jax.jit, static_argnames=("winsize", "max_disp",
                                              "gaussian", "tile_h",
                                              "interpret", "img_h",
-                                             "shift_skip"))
+                                             "shift_skip", "vbox_mxu"))
 def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               winsize: int, max_disp: int, gaussian: bool = False,
               tile_h: int = 0, interpret: bool = False,
               row0=None, img_h: int = 0,
-              shift_skip: bool = False) -> jnp.ndarray:
+              shift_skip: bool = False,
+              vbox_mxu: bool = False) -> jnp.ndarray:
     """One fused Farneback iteration (warp included).
 
     R0p, R1p: (5, H, W) UNWARPED polyexp planes (f32 or bf16 storage —
@@ -341,6 +376,9 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
     fl = prep(flow_p)
 
     has_row0 = row0 is not None
+    if has_row0 and img_h <= 0:
+        raise ValueError("band mode (row0 given) requires img_h = the "
+                         "GLOBAL image height")
     hg = img_h if has_row0 else h
     inputs = (r0, r1, fl)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
@@ -364,7 +402,7 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
 
     out = pl.pallas_call(
         functools.partial(_flow_iter_kernel, th, w, hg, bw, D, rows,
-                          weights, has_row0, shift_skip),
+                          weights, has_row0, shift_skip, vbox_mxu),
         grid=(h_pad // th,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((2, th, w), lambda i: (0, i, 0),

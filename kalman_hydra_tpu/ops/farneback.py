@@ -486,6 +486,8 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                                                             "0")),
                                  shift_skip=_os.environ.get(
                                      "KH_FI_SKIP", "0") == "1",
+                                 vbox_mxu=_os.environ.get(
+                                     "KH_FI_VBOX", "0") == "1",
                                  interpret=interpret)
                 else:
                     # exact-warp path: gather in XLA, rest fused. This is

@@ -140,6 +140,38 @@ def _gather_blocks_klast(imgs: jnp.ndarray, by: jnp.ndarray, bx: jnp.ndarray,
     return out                                            # (C, size, size, K)
 
 
+def _gather_blocks_klast_blocked(imgs: jnp.ndarray, by: jnp.ndarray,
+                                 bx: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Blocked twin of _gather_blocks_klast (same output, same bases —
+    callers pre-clamp them in-range).
+
+    The plain version materializes the full-width row gather
+    (C, K, size, W) AND a (K, size, W) one-hot — ~300 MB each at
+    1080p/K=1024 — before the MXU contraction. Here the column offset is
+    split into a 128-block index and a residual: a flat row+block gather
+    fetches only the TWO 128-lane blocks covering each window row
+    ((C, K, size, 256) ≈ 40 MB), and the residual resolves via a small
+    (K, size, 256) one-hot MXU contraction. Identical math, ~8x less
+    intermediate HBM traffic."""
+    C, H, W = imgs.shape
+    BL = 128
+    nb = (W + BL - 1) // BL + 1          # +1 guard block for bb+1
+    imgs_p = jnp.pad(imgs, ((0, 0), (0, 0), (0, nb * BL - W)))
+    flat = imgs_p.reshape(C, H * nb, BL)
+    bb = jnp.clip(bx, 0, W - 1) // BL                      # (K,)
+    rr = jnp.clip(bx, 0, W - 1) - bb * BL                  # in [0, 128)
+    iy = jnp.clip(by[:, None] + jnp.arange(size)[None, :], 0, H - 1)
+    rid = (iy[:, :, None] * nb + bb[:, None, None]
+           + jnp.arange(2)[None, None, :])                 # (K, size, 2)
+    win = flat[:, rid]                                     # (C,K,size,2,BL)
+    win = win.reshape(C, win.shape[1], size, 2 * BL)
+    ix = rr[:, None] + jnp.arange(size)[None, :]           # (K, size)
+    sel = (ix[:, :, None] == jnp.arange(2 * BL)[None, None, :]).astype(
+        imgs.dtype)
+    return jnp.einsum("cksu,ktu->cstk", win, sel,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _bilinear_shift(blk: jnp.ndarray, fx, fy, out: int) -> jnp.ndarray:
     """(..., out+1, out+1) block -> (..., out, out) patch at fraction
     (fx, fy) via the 4 static corner shifts (no gathers)."""
@@ -228,10 +260,16 @@ def _lk_level_batched_klast(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
     Hp, Wp = pb.shape
 
     # template/gradient patches at the (fixed) point location
+    # KH_LK_BGATHER=1: blocked gather (exact; ~8x less intermediate HBM
+    # traffic — read at TRACE time, same caveat as KH_FI_TH)
+    import os as _os
+    _gb = (_gather_blocks_klast_blocked
+           if _os.environ.get("KH_LK_BGATHER", "0") == "1"
+           else _gather_blocks_klast)
     abase_x = jnp.floor(pt_l[:, 0] - half).astype(jnp.int32)
     abase_y = jnp.floor(pt_l[:, 1] - half).astype(jnp.int32)
     stack_a = jnp.stack([pa, pgx, pgy], axis=0)
-    blks_a = _gather_blocks_klast(stack_a, abase_y, abase_x, w + 1)
+    blks_a = _gb(stack_a, abase_y, abase_x, w + 1)
     fax = (pt_l[:, 0] - half - abase_x)[None, None, :]
     fay = (pt_l[:, 1] - half - abase_y)[None, None, :]
 
@@ -259,7 +297,7 @@ def _lk_level_batched_klast(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
                        0, Wp - Bb)
     bbase_y = jnp.clip(jnp.floor(guess[:, 1] - half).astype(jnp.int32) - D,
                        0, Hp - Bb)
-    blk_b = _gather_blocks_klast(pb[None], bbase_y, bbase_x, Bb)[0]
+    blk_b = _gb(pb[None], bbase_y, bbase_x, Bb)[0]
     base_x = bbase_x.astype(jnp.float32)                  # (K,)
     base_y = bbase_y.astype(jnp.float32)
 
@@ -374,10 +412,16 @@ def _lk_level_batched_corr(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig,
     n_off = D2 + 2
     Hp, Wp = pb.shape
 
+    # KH_LK_BGATHER=1: blocked gather (exact; ~8x less intermediate HBM
+    # traffic — read at TRACE time, same caveat as KH_FI_TH)
+    import os as _os
+    _gb = (_gather_blocks_klast_blocked
+           if _os.environ.get("KH_LK_BGATHER", "0") == "1"
+           else _gather_blocks_klast)
     abase_x = jnp.floor(pt_l[:, 0] - half).astype(jnp.int32)
     abase_y = jnp.floor(pt_l[:, 1] - half).astype(jnp.int32)
     stack_a = jnp.stack([pa, pgx, pgy], axis=0)
-    blks_a = _gather_blocks_klast(stack_a, abase_y, abase_x, w + 1)
+    blks_a = _gb(stack_a, abase_y, abase_x, w + 1)
     fax = (pt_l[:, 0] - half - abase_x)[None, None, :]
     fay = (pt_l[:, 1] - half - abase_y)[None, None, :]
 
@@ -404,7 +448,7 @@ def _lk_level_batched_corr(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig,
                        0, Wp - Bb)
     bbase_y = jnp.clip(jnp.floor(guess[:, 1] - half).astype(jnp.int32) - D,
                        0, Hp - Bb)
-    blk_b = _gather_blocks_klast(pb[None], bbase_y, bbase_x, Bb)[0]
+    blk_b = _gb(pb[None], bbase_y, bbase_x, Bb)[0]
     base_x = bbase_x.astype(jnp.float32)
     base_y = bbase_y.astype(jnp.float32)
 

@@ -47,7 +47,9 @@ def main():
     pts = jnp.asarray(
         np.stack([rng.uniform(20, w - 20, K), rng.uniform(20, h - 20, K)],
                  -1).astype(np.float32))
-    cfg = FlowConfig(method="lk_sparse", lk_block_halo=8)
+    import os
+    cfg = FlowConfig(method="lk_sparse",
+                     lk_block_halo=int(os.environ.get("KH_LK_HALO", "8")))
     print(f"cfg: levels={cfg.levels} win={cfg.lk_winsize} "
           f"iters={cfg.lk_max_iter} halo={cfg.lk_block_halo}", flush=True)
 
@@ -97,15 +99,73 @@ def main():
                                                  pt_l + acc * 1e-6, pt_l,
                                                  cfg)
             return jnp.sum(g) * 1e-3
-        return f, fk, (pa, pb, pgx, pgy, pt_l)
+
+        def fc(pa, pb, pgx, pgy, pt_l, acc):
+            g, ok, _ = L._lk_level_batched_corr(pa, pb, pgx, pgy,
+                                                pt_l + acc * 1e-6, pt_l,
+                                                cfg, use_conv=False)
+            return jnp.sum(g) * 1e-3
+
+        def fcc(pa, pb, pgx, pgy, pt_l, acc):
+            g, ok, _ = L._lk_level_batched_corr(pa, pb, pgx, pgy,
+                                                pt_l + acc * 1e-6, pt_l,
+                                                cfg, use_conv=True)
+            return jnp.sum(g) * 1e-3
+
+        # micro-stages of the corr path: block gather alone, table build
+        # alone (both builders) — isolates where the level budget goes
+        w_ = cfg.lk_winsize
+        half_ = (w_ - 1) * 0.5
+        D_ = cfg.lk_block_halo
+        Bb_ = w_ + 1 + 2 * D_
+        n_off = 2 * D_ + 2
+
+        def gather_only(pa, pb, pgx, pgy, pt_l, acc):
+            Hp, Wp = pb.shape
+            q = pt_l + acc * 1e-6
+            bbx = jnp.clip(jnp.floor(q[:, 0] - half_).astype(jnp.int32) - D_,
+                           0, Wp - Bb_)
+            bby = jnp.clip(jnp.floor(q[:, 1] - half_).astype(jnp.int32) - D_,
+                           0, Hp - Bb_)
+            blk = L._gather_blocks_klast(pb[None], bby, bbx, Bb_)[0]
+            return jnp.sum(blk[::8, ::8, ::64]) * 1e-6
+
+        def make_tables_case(use_conv):
+            def tables_only(pa, pb, pgx, pgy, pt_l, acc):
+                Hp, Wp = pb.shape
+                q = pt_l + acc * 1e-6
+                bbx = jnp.clip(
+                    jnp.floor(q[:, 0] - half_).astype(jnp.int32) - D_,
+                    0, Wp - Bb_)
+                bby = jnp.clip(
+                    jnp.floor(q[:, 1] - half_).astype(jnp.int32) - D_,
+                    0, Hp - Bb_)
+                blk = L._gather_blocks_klast(pb[None], bby, bbx, Bb_)[0]
+                t = blk[:w_, :w_, :]            # stand-in template (w,w,K)
+                C = L._corr_tables(blk, t, n_off, w_, use_conv)
+                return jnp.sum(C[::4, ::4, ::64]) * 1e-6
+            return tables_only
+
+        return (f, fk, fc, fcc, gather_only, make_tables_case(False),
+                make_tables_case(True), (pa, pb, pgx, pgy, pt_l))
+
+    def t_pyramid_pl(img, acc):
+        pyr, grads = L.lk_pyramid(img + acc * 1e-20, cfg, impl="pallas")
+        return sum(jnp.sum(p[::64, ::64]) for p in pyr) + \
+            sum(jnp.sum(g[0][::64, ::64]) for g in grads)
 
     cases = [("pyramid+scharr (1 frame)", t_pyramid, (a,)),
+             ("pyramid+scharr PALLAS", t_pyramid_pl, (a,)),
              ("lk_sparse full (no cache)", t_full, (a, b, pts)),
              ("lk_sparse pipeline-shape", t_full_cached, (a, b, pts))]
     for lvl in (0, 1, 2):
-        f, fk, args = level_case(lvl)
-        cases.append((f"level {lvl} batched track", f, args))
+        f, fk, fc, fcc, gth, tbl, tblc, args = level_case(lvl)
         cases.append((f"level {lvl} K-last track", fk, args))
+        cases.append((f"level {lvl} corr track", fc, args))
+        cases.append((f"level {lvl} corr_conv track", fcc, args))
+        cases.append((f"level {lvl} gather only", gth, args))
+        cases.append((f"level {lvl} tables slices", tbl, args))
+        cases.append((f"level {lvl} tables conv", tblc, args))
 
     for name, fn, args in cases:
         try:

@@ -139,6 +139,12 @@ def main():
         got = flow_iter(R0.astype(jnp.bfloat16), R1.astype(jnp.bfloat16),
                         fl, 15, 8, False, shift_skip=True)
         ok &= check("flow_iter shift_skip bf16", got, ref, 0.05)
+        # MXU vertical box + all optimizations combined
+        got = flow_iter(R0, R1, fl, 15, 8, False, vbox_mxu=True)
+        ok &= check("flow_iter vbox_mxu", got, ref, 1e-3)
+        got = flow_iter(R0.astype(jnp.bfloat16), R1.astype(jnp.bfloat16),
+                        fl, 15, 8, False, shift_skip=True, vbox_mxu=True)
+        ok &= check("flow_iter skip+vbox bf16", got, ref, 0.05)
         # band mode (sharded row slabs): a mid-image slab with its global
         # row offset must reproduce the full-image rows exactly in the
         # band interior (reach bw + D + 1 = 16 rows)
