@@ -35,6 +35,13 @@ jax.config.update("jax_compilation_cache_dir",
 
 CPU_BASELINE_1080P_FPS = 1.45  # BASELINE.md, measured on this container
 
+# round-3 measured defaults (BASELINE.md round-3 A/B table): tile-adaptive
+# shift skipping (exact) + 64-row flow_iter tiles + 4-frame corner-pool
+# refresh cadence. Each is overridable; values are read at trace time.
+os.environ.setdefault("KH_FI_SKIP", "1")
+os.environ.setdefault("KH_FI_TH", "64")
+os.environ.setdefault("KH_REINIT_EVERY", "4")
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -118,7 +125,11 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
     bf16 = os.environ.get("KH_BF16_POLY", "1") == "1"
     batch = int(os.environ.get("KH_BATCH", "1"))
     lk_halo = int(os.environ.get("KH_LK_HALO", "8"))
-    lk_solver = os.environ.get("KH_LK_SOLVER", "corr")
+    # default: corr_conv solver at halo 8 with the blocked gather (154.9
+    # fps measured, identical semantics to blockhalo which gives 133.8;
+    # halo 4 reaches 168.9 at a tighter per-level displacement clamp —
+    # BASELINE.md round-3 table)
+    lk_solver = os.environ.get("KH_LK_SOLVER", "corr_conv")
     cfg = RunConfig(
         # cv2-default Farneback params (15/5/3, poly 5/1.1); fast_warp
         # replaces the TPU-hostile gather warp with the select-sum warp
@@ -141,6 +152,10 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
                            reinit_every=int(os.environ.get(
                                "KH_REINIT_EVERY", "1"))),
         impl=pick_impl())
+    log(f"config: reinit_every={cfg.tracks.reinit_every} "
+        f"fast_warp={fast_warp} bf16={cfg.flow.bf16_poly} "
+        f"fi_skip={os.environ.get('KH_FI_SKIP')} "
+        f"fi_th={os.environ.get('KH_FI_TH')} lk_solver={lk_solver}")
     frames, _truth = make_clip(t, h, w)
     frames_d = jnp.asarray(frames)
     # regular seed grid over the frame interior (num_tracks points)

@@ -260,11 +260,14 @@ def _lk_level_batched_klast(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
     Hp, Wp = pb.shape
 
     # template/gradient patches at the (fixed) point location
-    # KH_LK_BGATHER=1: blocked gather (exact; ~8x less intermediate HBM
-    # traffic — read at TRACE time, same caveat as KH_FI_TH)
+    # blocked gather by default: bit-exact and the single biggest sparse
+    # win on silicon (74.4 -> 133.8 fps at 1080p/1k tracks — the plain
+    # full-width gather's ~300 MB intermediates dominated the solve).
+    # KH_LK_BGATHER=0 reverts (read at TRACE time, same caveat as
+    # KH_FI_TH).
     import os as _os
     _gb = (_gather_blocks_klast_blocked
-           if _os.environ.get("KH_LK_BGATHER", "0") == "1"
+           if _os.environ.get("KH_LK_BGATHER", "1") == "1"
            else _gather_blocks_klast)
     abase_x = jnp.floor(pt_l[:, 0] - half).astype(jnp.int32)
     abase_y = jnp.floor(pt_l[:, 1] - half).astype(jnp.int32)
@@ -412,11 +415,14 @@ def _lk_level_batched_corr(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig,
     n_off = D2 + 2
     Hp, Wp = pb.shape
 
-    # KH_LK_BGATHER=1: blocked gather (exact; ~8x less intermediate HBM
-    # traffic — read at TRACE time, same caveat as KH_FI_TH)
+    # blocked gather by default: bit-exact and the single biggest sparse
+    # win on silicon (74.4 -> 133.8 fps at 1080p/1k tracks — the plain
+    # full-width gather's ~300 MB intermediates dominated the solve).
+    # KH_LK_BGATHER=0 reverts (read at TRACE time, same caveat as
+    # KH_FI_TH).
     import os as _os
     _gb = (_gather_blocks_klast_blocked
-           if _os.environ.get("KH_LK_BGATHER", "0") == "1"
+           if _os.environ.get("KH_LK_BGATHER", "1") == "1"
            else _gather_blocks_klast)
     abase_x = jnp.floor(pt_l[:, 0] - half).astype(jnp.int32)
     abase_y = jnp.floor(pt_l[:, 1] - half).astype(jnp.int32)
