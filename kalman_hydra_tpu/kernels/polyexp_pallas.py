@@ -28,7 +28,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _polyexp_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
-                    th: int, w_out: int,
+                    th: int, w_out: int, vert_mxu: bool,
                     in_hbm, out_ref, scratch, sem):
     """Double-buffered slab pipeline (same pattern as flow_iter): scratch
     has a 2-slot leading axis; step i computes from slot i%2 while the
@@ -57,15 +57,39 @@ def _polyexp_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
     s = scratch[slot]                               # (th+2n, w_out+2n)
 
     taps = 2 * n + 1
-    v0 = v1 = v2 = None
-    for k in range(taps):
-        row = s[k:k + th, :]
-        t0 = g[k] * row
-        t1 = xg[k] * row
-        t2 = xxg[k] * row
-        v0 = t0 if v0 is None else v0 + t0
-        v1 = t1 if v1 is None else v1 + t1
-        v2 = t2 if v2 is None else v2 + t2
+    if vert_mxu:
+        # all three vertical correlations as ONE banded-matrix MXU
+        # contraction: rows [c*th, (c+1)*th) of B hold channel c's taps
+        # (g / xg / xxg) on the band  B[c*th + r, r + k] = w_c[k]  — the
+        # (3*th, rows_in) @ (rows_in, wp) dot replaces 3*taps VPU passes.
+        # HIGHEST keeps f32 accuracy (operands round to bf16 by default);
+        # summation order differs from the tap loop, so this variant is
+        # ~1e-6-relative (NOT bit-exact) vs the XLA twin.
+        ri = jax.lax.broadcasted_iota(jnp.int32, (3 * th, rows_in), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (3 * th, rows_in), 1)
+        chan = ri // th
+        d = ci - (ri % th)
+        B = jnp.zeros((3 * th, rows_in), jnp.float32)
+        for k in range(taps):
+            wk = jnp.where(chan == 0, jnp.float32(g[k]),
+                           jnp.where(chan == 1, jnp.float32(xg[k]),
+                                     jnp.float32(xxg[k])))
+            B = jnp.where(d == k, wk, B)
+        v = jax.lax.dot(B, s, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+        v0 = v[0:th, :]
+        v1 = v[th:2 * th, :]
+        v2 = v[2 * th:3 * th, :]
+    else:
+        v0 = v1 = v2 = None
+        for k in range(taps):
+            row = s[k:k + th, :]
+            t0 = g[k] * row
+            t1 = xg[k] * row
+            t2 = xxg[k] * row
+            v0 = t0 if v0 is None else v0 + t0
+            v1 = t1 if v1 is None else v1 + t1
+            v2 = t2 if v2 is None else v2 + t2
 
     m00 = m10 = m20 = m01 = m11 = m02 = None
     for k in range(taps):
@@ -123,6 +147,9 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
     import os as _os
     align = 16 if jnp.dtype(out_dtype).itemsize < 4 else 8
     th = min(int(_os.environ.get("KH_PE_TH", "128")), _round_up(h, align))
+    # KH_PE_VMXU=1: vertical taps as a banded MXU contraction (A/B knob,
+    # trace-time; ~1e-6-relative vs the tap loop — see kernel docstring)
+    vert_mxu = _os.environ.get("KH_PE_VMXU", "0") == "1"
     h_pad = ((h + th - 1) // th) * th
     rows_in = _round_up(th + 2 * n, 8)
     wp = _round_up(w + 2 * n, 128)
@@ -133,7 +160,7 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
     out = pl.pallas_call(
         functools.partial(_polyexp_kernel, n, gt, xg, xxg,
                           float(ig11), float(ig03), float(ig33), float(ig55),
-                          th, w),
+                          th, w, vert_mxu),
         grid=(h_pad // th,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((5, th, w), lambda i: (0, i, 0),

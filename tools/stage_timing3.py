@@ -1,10 +1,16 @@
 """Stage timing v3: where the PALLAS-path 1080p pipeline (flow_iter +
 polyexp kernels, bf16 planes) spends its ~9 ms/frame. Run solo on TPU."""
 
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+# default to the round-3 bench winners (BASELINE.md round-3 table);
+# override per-run to A/B. Read at trace time.
+os.environ.setdefault("KH_FI_SKIP", "1")
+os.environ.setdefault("KH_FI_TH", "64")
 
 
 def marginal(fn, args, r1=1, r2=5):
@@ -77,7 +83,9 @@ def main():
         return jnp.sum(out[::64, ::64])
 
     def t_fine_iter(flow, acc):
-        out = flow_iter(R0f, R1f, flow + acc * 1e-20, fcfg.winsize, 8, False)
+        out = flow_iter(R0f, R1f, flow + acc * 1e-20, fcfg.winsize, 8, False,
+                        tile_h=int(os.environ.get("KH_FI_TH", "0")),
+                        shift_skip=os.environ.get("KH_FI_SKIP", "0") == "1")
         return jnp.sum(out[:, ::64, ::64])
 
     def t_corner(a, acc):
