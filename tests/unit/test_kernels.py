@@ -36,6 +36,21 @@ def test_polyexp_kernel_matches_xla(pn, ps, rng):
     assert np.abs(ref - np.moveaxis(got, 0, -1)).max() < 1e-3
 
 
+def test_polyexp_kernel_vert_mxu_matches_xla(rng, monkeypatch):
+    """KH_PE_VMXU=1 swaps the vertical tap loop for a banded MXU
+    contraction — same math, different summation order, so ~1e-5 abs
+    (not bit-exact). Trace-time env knob: clear the jit cache so the
+    traced variant actually changes."""
+    monkeypatch.setenv("KH_PE_VMXU", "1")
+    poly_expansion_planar.clear_cache()
+    img = rng.uniform(0, 255, (100, 130)).astype(np.float32)
+    ref = np.asarray(FB.poly_expansion(jnp.asarray(img), 5, 1.1))
+    got = np.asarray(poly_expansion_planar(jnp.asarray(img), 5, 1.1,
+                                           interpret=True))
+    poly_expansion_planar.clear_cache()
+    assert np.abs(ref - np.moveaxis(got, 0, -1)).max() < 1e-3
+
+
 @pytest.mark.parametrize("gaussian", [False, True])
 def test_flow_update_kernel_matches_xla(gaussian, rng):
     h, w = 96, 128
