@@ -473,8 +473,16 @@ def bench_config(n):
                             fast_warp=int(os.environ.get("KH_FAST_WARP",
                                                          "8")),
                             bf16_poly=True),
-            tracks=TrackConfig(num_tracks=256),
-            smooth=SmoothConfig(enabled=True))
+            # same corner-pool refresh cadence as the other configs
+            # (KH_REINIT_EVERY; gated re-init itself stays per-frame)
+            tracks=TrackConfig(num_tracks=256,
+                               reinit_every=int(os.environ.get(
+                                   "KH_REINIT_EVERY", "1"))),
+            smooth=SmoothConfig(enabled=True),
+            # cfg5 ran the XLA path through round 3's first measurements —
+            # every other config auto-picks the Pallas kernels; do the same
+            # (pick_impl probes Mosaic BEFORE this process touches the TPU)
+            impl=pick_impl())
         frames, _ = make_clip(33, 480, 854)
         frames_d = jnp.asarray(frames)
         t_frames = len(frames)

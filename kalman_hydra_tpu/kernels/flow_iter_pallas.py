@@ -54,7 +54,7 @@ def _damp_vec(abs_idx, limit):
 
 def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                       rows: int, weights, has_row0, shift_skip,
-                      vbox_mxu, *refs):
+                      vbox_mxu, box_bf16, *refs):
     """Double-buffered slab pipeline: scratch slabs have a leading 2-slot
     axis; step i computes from slot i%2 while the DMAs for tile i+1 land
     in slot (i+1)%2 (started before this step's wait, so the copies
@@ -263,8 +263,15 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
         ri = jax.lax.broadcasted_iota(jnp.int32, (th, mrows), 0)
         ci = jax.lax.broadcasted_iota(jnp.int32, (th, mrows), 1)
         Bv = ((ci >= ri) & (ci < ri + taps)).astype(jnp.float32)
+    ms = (m0, m1, m2, m3, m4)
+    if box_bf16:
+        # bf16 box accumulation: the smoothing sums run on packed (16,128)
+        # bf16 vregs — half the vector-register traffic of the 5x16
+        # shifted-add passes. Mirrors the XLA path's bf16 M storage
+        # (~1e-3 px EPE impact, BASELINE.md); solve stays f32.
+        ms = tuple(m.astype(jnp.bfloat16) for m in ms)
     outs = []
-    for m in (m0, m1, m2, m3, m4):
+    for m in ms:
         if box_split:
             a = taps // 3
             inv = 1.0 / taps
@@ -291,17 +298,19 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
             for j in range(a):
                 t = s3h[:, 3 * j:3 * j + w]
                 hsum = t if hsum is None else hsum + t
-            hsum = hsum * (inv * inv)
+            hsum = hsum.astype(jnp.float32) * (inv * inv)
         else:
+            # python-float taps stay weak-typed so bf16 operands are not
+            # promoted back to f32 by the np.float32 scalars
             vsum = None
             for k in range(taps):
-                t = weights[k] * m[k:k + th, :]
+                t = float(weights[k]) * m[k:k + th, :]
                 vsum = t if vsum is None else vsum + t
             hsum = None
             for k in range(taps):
-                t = weights[k] * vsum[:, k:k + w]
+                t = float(weights[k]) * vsum[:, k:k + w]
                 hsum = t if hsum is None else hsum + t
-        outs.append(hsum)
+        outs.append(hsum.astype(jnp.float32))
     g11, g12, g22, h1, h2 = outs
     idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
     out_ref[0, :, :] = (g22 * h1 - g12 * h2) * idet
@@ -311,13 +320,15 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
 @functools.partial(jax.jit, static_argnames=("winsize", "max_disp",
                                              "gaussian", "tile_h",
                                              "interpret", "img_h",
-                                             "shift_skip", "vbox_mxu"))
+                                             "shift_skip", "vbox_mxu",
+                                             "box_bf16"))
 def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               winsize: int, max_disp: int, gaussian: bool = False,
               tile_h: int = 0, interpret: bool = False,
               row0=None, img_h: int = 0,
               shift_skip: bool = False,
-              vbox_mxu: bool = False) -> jnp.ndarray:
+              vbox_mxu: bool = False,
+              box_bf16: bool = False) -> jnp.ndarray:
     """One fused Farneback iteration (warp included).
 
     R0p, R1p: (5, H, W) UNWARPED polyexp planes (f32 or bf16 storage —
@@ -402,7 +413,8 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
 
     out = pl.pallas_call(
         functools.partial(_flow_iter_kernel, th, w, hg, bw, D, rows,
-                          weights, has_row0, shift_skip, vbox_mxu),
+                          weights, has_row0, shift_skip, vbox_mxu,
+                          box_bf16),
         grid=(h_pad // th,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((2, th, w), lambda i: (0, i, 0),

@@ -488,6 +488,11 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                                      "KH_FI_SKIP", "0") == "1",
                                  vbox_mxu=_os.environ.get(
                                      "KH_FI_VBOX", "0") == "1",
+                                 # KH_FI_BOXBF16=1: bf16 winsize-box
+                                 # accumulation (packed vregs; ~1e-3 px
+                                 # EPE, mirrors bf16 M storage policy)
+                                 box_bf16=_os.environ.get(
+                                     "KH_FI_BOXBF16", "0") == "1",
                                  interpret=interpret)
                 else:
                     # exact-warp path: gather in XLA, rest fused. This is
