@@ -54,7 +54,7 @@ def _damp_vec(abs_idx, limit):
 
 def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                       rows: int, weights, has_row0, shift_skip,
-                      vbox_mxu, box_bf16, *refs):
+                      vbox_mxu, box_bf16, warp_bf16, *refs):
     """Double-buffered slab pipeline: scratch slabs have a leading 2-slot
     axis; step i computes from slot i%2 while the DMAs for tile i+1 land
     in slot (i+1)%2 (started before this step's wait, so the copies
@@ -109,7 +109,11 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
         c.wait()
 
     wp = r0_s.shape[3]
-    R1 = r1_s[slot].astype(jnp.float32)           # (5, rows, wp)
+    # warp_bf16: keep R1 in its (bf16) slab dtype and accumulate the
+    # select-sum warp in bf16 packed vregs; shift weights are built in
+    # f32 (exact lerp math) and cast once per executed term
+    R1 = r1_s[slot] if warp_bf16 else r1_s[slot].astype(jnp.float32)
+    wdt = R1.dtype
     # flow at the M region (slab rows [D, D+mrows))
     flm = fl_s[slot, :, D:D + mrows, :].astype(jnp.float32)
     dx = flm[0]
@@ -148,7 +152,7 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                 wj = jnp.where(y_idx == (j - D), 1.0 - ay2, 0.0)
                 if j >= 1:
                     wj = wj + jnp.where(y_idx == (j - 1 - D), ay2, 0.0)
-                vacc[...] += wj[None] * R1[:, j:j + mrows, :]
+                vacc[...] += wj.astype(wdt)[None] * R1[:, j:j + mrows, :]
         v = vacc[...]                               # (5, mrows, wp)
 
         xmin = jnp.min(xm)
@@ -162,7 +166,8 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                 wj = jnp.where(xm == sh, 1.0 - axm2, 0.0)
                 if j >= 1:
                     wj = wj + jnp.where(xm == sh - 1, axm2, 0.0)
-                racc[...] += wj[None] * v[:, :, base + sh:base + sh + mcols]
+                racc[...] += (wj.astype(wdt)[None]
+                              * v[:, :, base + sh:base + sh + mcols])
         R1w = racc[...]                             # (5, mrows, mcols)
     else:
         v = None
@@ -170,7 +175,7 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
             wj = jnp.where(y_idx == (j - D), 1.0 - ay2, 0.0)
             if j >= 1:
                 wj = wj + jnp.where(y_idx == (j - 1 - D), ay2, 0.0)
-            t = wj[None] * R1[:, j:j + mrows, :]
+            t = wj.astype(wdt)[None] * R1[:, j:j + mrows, :]
             v = t if v is None else v + t           # (5, mrows, wp)
 
         # horizontal: shift within the slab's lane halo. Warped column c
@@ -181,10 +186,11 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
             wj = jnp.where(xm == sh, 1.0 - axm2, 0.0)
             if j >= 1:
                 wj = wj + jnp.where(xm == sh - 1, axm2, 0.0)
-            t = wj[None] * v[:, :, base + sh:base + sh + mcols]
+            t = wj.astype(wdt)[None] * v[:, :, base + sh:base + sh + mcols]
             R1w = t if R1w is None else R1w + t    # (5, mrows, mcols)
 
     # ---- averaged-matrix normal equations (update_matrices_p) ----
+    R1w = R1w.astype(jnp.float32)
     R0 = r0_s[slot, :, D:D + mrows, hb - bw:hb - bw + w + 2 * bw].astype(
         jnp.float32)
     dxm = dx[:, hb - bw:hb - bw + w + 2 * bw]
@@ -321,14 +327,15 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                                              "gaussian", "tile_h",
                                              "interpret", "img_h",
                                              "shift_skip", "vbox_mxu",
-                                             "box_bf16"))
+                                             "box_bf16", "warp_bf16"))
 def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               winsize: int, max_disp: int, gaussian: bool = False,
               tile_h: int = 0, interpret: bool = False,
               row0=None, img_h: int = 0,
               shift_skip: bool = False,
               vbox_mxu: bool = False,
-              box_bf16: bool = False) -> jnp.ndarray:
+              box_bf16: bool = False,
+              warp_bf16: bool = False) -> jnp.ndarray:
     """One fused Farneback iteration (warp included).
 
     R0p, R1p: (5, H, W) UNWARPED polyexp planes (f32 or bf16 storage —
@@ -408,13 +415,14 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
         pltpu.SemaphoreType.DMA((2, 3)),
     ]
     if shift_skip:
-        scratch += [pltpu.VMEM((5, mrows, wp), jnp.float32),
-                    pltpu.VMEM((5, mrows, w + 2 * bw), jnp.float32)]
+        acc_dt = R1p.dtype if warp_bf16 else jnp.float32
+        scratch += [pltpu.VMEM((5, mrows, wp), acc_dt),
+                    pltpu.VMEM((5, mrows, w + 2 * bw), acc_dt)]
 
     out = pl.pallas_call(
         functools.partial(_flow_iter_kernel, th, w, hg, bw, D, rows,
                           weights, has_row0, shift_skip, vbox_mxu,
-                          box_bf16),
+                          box_bf16, warp_bf16),
         grid=(h_pad // th,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((2, th, w), lambda i: (0, i, 0),

@@ -493,6 +493,10 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                                  # EPE, mirrors bf16 M storage policy)
                                  box_bf16=_os.environ.get(
                                      "KH_FI_BOXBF16", "0") == "1",
+                                 # KH_FI_WARPBF16=1: bf16 select-sum warp
+                                 # accumulation (R1 stays in slab dtype)
+                                 warp_bf16=_os.environ.get(
+                                     "KH_FI_WARPBF16", "0") == "1",
                                  interpret=interpret)
                 else:
                     # exact-warp path: gather in XLA, rest fused. This is
