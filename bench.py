@@ -139,6 +139,12 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
         # KH_LK_SOLVER=blockhalo|corr|corr_conv for the level-solver A/B
         flow=FlowConfig(method=flow_method, fast_warp=fast_warp,
                         bf16_poly=bf16 and flow_method == "farneback",
+                        # KH_DIAG_ITERS/KH_DIAG_LEVELS: DIAGNOSTIC-only
+                        # overrides for cost decomposition on the real
+                        # clip (changes cv2 semantics — never a default)
+                        iterations=int(os.environ.get("KH_DIAG_ITERS",
+                                                      "3")),
+                        levels=int(os.environ.get("KH_DIAG_LEVELS", "5")),
                         lk_block_halo=(lk_halo if flow_method == "lk_sparse"
                                        else 0),
                         lk_solver=(lk_solver if flow_method == "lk_sparse"

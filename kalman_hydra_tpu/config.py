@@ -66,6 +66,22 @@ class FlowConfig:
                                # while_loop); _conv builds the tables as
                                # one depthwise conv instead of static
                                # slice-reduces (TPU lowering A/B)
+    lk_blocked_gather: bool = True  # batched sparse LK extracts each
+                               # point's template/search blocks via the
+                               # blocked two-128-lane-block gather + one-
+                               # hot residual MXU contraction (bit-exact;
+                               # 74 -> 134 fps at 1080p/1k — the full-
+                               # width row gather's ~300 MB intermediates
+                               # dominated). False = full-width gather.
+                               # KH_LK_BGATHER overrides at trace time.
+    # --- Pallas flow_iter kernel tuning (impl="pallas" only; exact) ---
+    fi_tile_h: int = 64        # flow_iter row-tile height (0 = kernel
+                               # default 32; 64 measured best at 1080p —
+                               # BASELINE.md round-3 table). KH_FI_TH
+                               # overrides at trace time.
+    fi_shift_skip: bool = True  # tile-adaptive select-sum shift skipping
+                               # (exact: skipped terms are identically
+                               # zero). KH_FI_SKIP overrides.
 
     def __post_init__(self):
         if self.method not in ("farneback", "lk_dense", "lk_sparse"):
@@ -76,6 +92,8 @@ class FlowConfig:
             raise ValueError("poly_n and lk_winsize must be odd")
         if self.lk_solver not in ("blockhalo", "corr", "corr_conv"):
             raise ValueError(f"unknown lk_solver {self.lk_solver!r}")
+        if self.fi_tile_h < 0:
+            raise ValueError("fi_tile_h must be >= 0 (0 = kernel default)")
 
 
 @dataclass(frozen=True)

@@ -479,13 +479,16 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                     # pl.when-guards warp shifts outside the tile's
                     # displacement range). Same trace-time caveat.
                     import os as _os
+                    _th_env = _os.environ.get("KH_FI_TH")
+                    _sk_env = _os.environ.get("KH_FI_SKIP")
                     flow_p = _fi(R0p, R1p, flow_p,
                                  cfg.winsize, cfg.fast_warp,
                                  cfg.gaussian_win,
-                                 tile_h=int(_os.environ.get("KH_FI_TH",
-                                                            "0")),
-                                 shift_skip=_os.environ.get(
-                                     "KH_FI_SKIP", "0") == "1",
+                                 tile_h=(int(_th_env) if _th_env is not None
+                                         else cfg.fi_tile_h),
+                                 shift_skip=(_sk_env == "1"
+                                             if _sk_env is not None
+                                             else cfg.fi_shift_skip),
                                  vbox_mxu=_os.environ.get(
                                      "KH_FI_VBOX", "0") == "1",
                                  # KH_FI_BOXBF16=1: bf16 winsize-box

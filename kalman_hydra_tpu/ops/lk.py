@@ -260,14 +260,16 @@ def _lk_level_batched_klast(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
     Hp, Wp = pb.shape
 
     # template/gradient patches at the (fixed) point location
-    # blocked gather by default: bit-exact and the single biggest sparse
-    # win on silicon (74.4 -> 133.8 fps at 1080p/1k tracks — the plain
-    # full-width gather's ~300 MB intermediates dominated the solve).
-    # KH_LK_BGATHER=0 reverts (read at TRACE time, same caveat as
-    # KH_FI_TH).
+    # blocked gather (FlowConfig.lk_blocked_gather, default True):
+    # bit-exact and the single biggest sparse win on silicon (74.4 ->
+    # 133.8 fps at 1080p/1k tracks — the plain full-width gather's
+    # ~300 MB intermediates dominated the solve). KH_LK_BGATHER
+    # overrides at TRACE time (same caveat as KH_FI_TH).
     import os as _os
-    _gb = (_gather_blocks_klast_blocked
-           if _os.environ.get("KH_LK_BGATHER", "1") == "1"
+    _bg_env = _os.environ.get("KH_LK_BGATHER")
+    _use_bg = (_bg_env == "1" if _bg_env is not None
+               else cfg.lk_blocked_gather)
+    _gb = (_gather_blocks_klast_blocked if _use_bg
            else _gather_blocks_klast)
     abase_x = jnp.floor(pt_l[:, 0] - half).astype(jnp.int32)
     abase_y = jnp.floor(pt_l[:, 1] - half).astype(jnp.int32)
@@ -415,14 +417,16 @@ def _lk_level_batched_corr(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig,
     n_off = D2 + 2
     Hp, Wp = pb.shape
 
-    # blocked gather by default: bit-exact and the single biggest sparse
-    # win on silicon (74.4 -> 133.8 fps at 1080p/1k tracks — the plain
-    # full-width gather's ~300 MB intermediates dominated the solve).
-    # KH_LK_BGATHER=0 reverts (read at TRACE time, same caveat as
-    # KH_FI_TH).
+    # blocked gather (FlowConfig.lk_blocked_gather, default True):
+    # bit-exact and the single biggest sparse win on silicon (74.4 ->
+    # 133.8 fps at 1080p/1k tracks — the plain full-width gather's
+    # ~300 MB intermediates dominated the solve). KH_LK_BGATHER
+    # overrides at TRACE time (same caveat as KH_FI_TH).
     import os as _os
-    _gb = (_gather_blocks_klast_blocked
-           if _os.environ.get("KH_LK_BGATHER", "1") == "1"
+    _bg_env = _os.environ.get("KH_LK_BGATHER")
+    _use_bg = (_bg_env == "1" if _bg_env is not None
+               else cfg.lk_blocked_gather)
+    _gb = (_gather_blocks_klast_blocked if _use_bg
            else _gather_blocks_klast)
     abase_x = jnp.floor(pt_l[:, 0] - half).astype(jnp.int32)
     abase_y = jnp.floor(pt_l[:, 1] - half).astype(jnp.int32)
