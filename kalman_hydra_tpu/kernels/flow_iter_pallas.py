@@ -54,7 +54,7 @@ def _damp_vec(abs_idx, limit):
 
 def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                       rows: int, weights, has_row0, shift_skip,
-                      vbox_mxu, box_bf16, warp_bf16, *refs):
+                      vbox_mxu, box_bf16, warp_bf16, diag_skip, *refs):
     """Double-buffered slab pipeline: scratch slabs have a leading 2-slot
     axis; step i computes from slot i%2 while the DMAs for tile i+1 land
     in slot (i+1)%2 (started before this step's wait, so the copies
@@ -109,6 +109,18 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
         c.wait()
 
     wp = r0_s.shape[3]
+    base = hb - bw
+    mcols = w + 2 * bw
+    if "dma" in diag_skip:
+        # diagnostic floor: DMA + launch only, no compute. Output still
+        # depends on all three slabs so nothing is DCE'd.
+        out_ref[0, :, :] = (fl_s[slot, 0, D:D + th, base:base + w]
+                            + r0_s[slot, 0, D:D + th,
+                                   base:base + w].astype(jnp.float32)
+                            + r1_s[slot, 0, D:D + th,
+                                   base:base + w].astype(jnp.float32))
+        out_ref[1, :, :] = fl_s[slot, 1, D:D + th, base:base + w]
+        return
     # warp_bf16: keep R1 in its (bf16) slab dtype and accumulate the
     # select-sum warp in bf16 packed vregs; shift weights are built in
     # f32 (exact lerp math) and cast once per executed term
@@ -119,142 +131,174 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
     dx = flm[0]
     dy = flm[1]
 
-    # ---- in-VMEM select-sum bilinear warp of R1 by (dx, dy) ----
-    dxc = jnp.clip(dx, -D, D)
-    dyc = jnp.clip(dy, -D, D)
-    y_idx = jnp.floor(dyc).astype(jnp.int32)
-    x_idx = jnp.floor(dxc).astype(jnp.int32)
-    ay = (dyc - y_idx.astype(jnp.float32))[None]
-    ax = (dxc - x_idx.astype(jnp.float32))[None]
+    if "warp" in diag_skip:
+        # diagnostic knockout: unwarped center slice stands in for R1w
+        R1w = R1[:, D:D + mrows, base:base + mcols]
+    else:
+        # ---- in-VMEM select-sum bilinear warp of R1 by (dx, dy) ----
+        dxc = jnp.clip(dx, -D, D)
+        dyc = jnp.clip(dy, -D, D)
+        y_idx = jnp.floor(dyc).astype(jnp.int32)
+        x_idx = jnp.floor(dxc).astype(jnp.int32)
+        ay = (dyc - y_idx.astype(jnp.float32))[None]
+        ax = (dxc - x_idx.astype(jnp.float32))[None]
 
-    # fold the bilinear lerp into per-shift weights shared by all 5
-    # planes: v = sum_j wj * R1[j:j+mrows] with
-    # wj = [y_idx == j-D](1-ay) + [y_idx == j-1-D] ay  — one FMA per
-    # shift per plane instead of two where+adds (the warp is VPU-bound)
-    ay2 = ay[0]
-    mcols = w + 2 * bw
-    base = hb - bw
-    xm = x_idx[:, base:base + mcols]
-    axm2 = ax[0, :, base:base + mcols]
+        # fold the bilinear lerp into per-shift weights shared by all 5
+        # planes: v = sum_j wj * R1[j:j+mrows] with
+        # wj = [y_idx == j-D](1-ay) + [y_idx == j-1-D] ay  — one FMA per
+        # shift per plane instead of two where+adds (the warp is
+        # VPU-bound)
+        ay2 = ay[0]
+        xm = x_idx[:, base:base + mcols]
+        axm2 = ax[0, :, base:base + mcols]
 
-    if shift_skip:
-        # tile-adaptive: only shifts inside the tile's displacement range
-        # execute; the rest are skipped by the scalar pl.when guards.
-        # Range over the REAL (edge-padded) columns only — the zero tail
-        # beyond w + 2*hb would clamp to displacement 0 and widen it.
-        ymin = jnp.min(y_idx[:, :w + 2 * hb])
-        ymax = jnp.max(y_idx[:, :w + 2 * hb])
-        vacc[...] = jnp.zeros_like(vacc)
+        if shift_skip:
+            # tile-adaptive: only shifts inside the tile's displacement
+            # range execute; the rest are skipped by the scalar pl.when
+            # guards. Range over the REAL (edge-padded) columns only —
+            # the zero tail beyond w + 2*hb would clamp to displacement
+            # 0 and widen it.
+            ymin = jnp.min(y_idx[:, :w + 2 * hb])
+            ymax = jnp.max(y_idx[:, :w + 2 * hb])
+            vacc[...] = jnp.zeros_like(vacc)
 
-        for j in range(2 * D + 2):
-            @pl.when((j >= ymin + D) & (j <= ymax + D + 1))
-            def _vterm(j=j):
+            for j in range(2 * D + 2):
+                @pl.when((j >= ymin + D) & (j <= ymax + D + 1))
+                def _vterm(j=j):
+                    wj = jnp.where(y_idx == (j - D), 1.0 - ay2, 0.0)
+                    if j >= 1:
+                        wj = wj + jnp.where(y_idx == (j - 1 - D), ay2, 0.0)
+                    vacc[...] += wj.astype(wdt)[None] * R1[:, j:j + mrows, :]
+            v = vacc[...]                           # (5, mrows, wp)
+
+            xmin = jnp.min(xm)
+            xmax = jnp.max(xm)
+            racc[...] = jnp.zeros_like(racc)
+            for j in range(2 * D + 2):
+                sh = j - D
+
+                @pl.when((j >= xmin + D) & (j <= xmax + D + 1))
+                def _hterm(j=j, sh=sh):
+                    wj = jnp.where(xm == sh, 1.0 - axm2, 0.0)
+                    if j >= 1:
+                        wj = wj + jnp.where(xm == sh - 1, axm2, 0.0)
+                    racc[...] += (wj.astype(wdt)[None]
+                                  * v[:, :, base + sh:base + sh + mcols])
+            R1w = racc[...]                         # (5, mrows, mcols)
+        else:
+            v = None
+            for j in range(2 * D + 2):
                 wj = jnp.where(y_idx == (j - D), 1.0 - ay2, 0.0)
                 if j >= 1:
                     wj = wj + jnp.where(y_idx == (j - 1 - D), ay2, 0.0)
-                vacc[...] += wj.astype(wdt)[None] * R1[:, j:j + mrows, :]
-        v = vacc[...]                               # (5, mrows, wp)
+                t = wj.astype(wdt)[None] * R1[:, j:j + mrows, :]
+                v = t if v is None else v + t       # (5, mrows, wp)
 
-        xmin = jnp.min(xm)
-        xmax = jnp.max(xm)
-        racc[...] = jnp.zeros_like(racc)
-        for j in range(2 * D + 2):
-            sh = j - D
-
-            @pl.when((j >= xmin + D) & (j <= xmax + D + 1))
-            def _hterm(j=j, sh=sh):
+            # horizontal: shift within the slab's lane halo. Warped
+            # column c (absolute col c - hb in image coords) reads v at
+            # c + x_idx.
+            R1w = None
+            for j in range(2 * D + 2):
+                sh = j - D
                 wj = jnp.where(xm == sh, 1.0 - axm2, 0.0)
                 if j >= 1:
                     wj = wj + jnp.where(xm == sh - 1, axm2, 0.0)
-                racc[...] += (wj.astype(wdt)[None]
-                              * v[:, :, base + sh:base + sh + mcols])
-        R1w = racc[...]                             # (5, mrows, mcols)
-    else:
-        v = None
-        for j in range(2 * D + 2):
-            wj = jnp.where(y_idx == (j - D), 1.0 - ay2, 0.0)
-            if j >= 1:
-                wj = wj + jnp.where(y_idx == (j - 1 - D), ay2, 0.0)
-            t = wj.astype(wdt)[None] * R1[:, j:j + mrows, :]
-            v = t if v is None else v + t           # (5, mrows, wp)
-
-        # horizontal: shift within the slab's lane halo. Warped column c
-        # (absolute col c - hb in image coords) reads v at c + x_idx.
-        R1w = None
-        for j in range(2 * D + 2):
-            sh = j - D
-            wj = jnp.where(xm == sh, 1.0 - axm2, 0.0)
-            if j >= 1:
-                wj = wj + jnp.where(xm == sh - 1, axm2, 0.0)
-            t = wj.astype(wdt)[None] * v[:, :, base + sh:base + sh + mcols]
-            R1w = t if R1w is None else R1w + t    # (5, mrows, mcols)
+                t = (wj.astype(wdt)[None]
+                     * v[:, :, base + sh:base + sh + mcols])
+                R1w = t if R1w is None else R1w + t  # (5, mrows, mcols)
 
     # ---- averaged-matrix normal equations (update_matrices_p) ----
     R1w = R1w.astype(jnp.float32)
     R0 = r0_s[slot, :, D:D + mrows, hb - bw:hb - bw + w + 2 * bw].astype(
         jnp.float32)
-    dxm = dx[:, hb - bw:hb - bw + w + 2 * bw]
-    dym = dy[:, hb - bw:hb - bw + w + 2 * bw]
-    a_xx = (R0[2] + R1w[2]) * 0.5
-    a_yy = (R0[3] + R1w[3]) * 0.5
-    axy = (R0[4] + R1w[4]) * 0.25
-    db_x = (R0[0] - R1w[0]) * 0.5 + a_xx * dxm + axy * dym
-    db_y = (R0[1] - R1w[1]) * 0.5 + axy * dxm + a_yy * dym
+    if "m" in diag_skip:
+        # diagnostic knockout: plane sums stand in for the normal
+        # equations (keeps R0 and the warp alive)
+        a_xx = R0[2] + R1w[2]
+        a_yy = R0[3] + R1w[3]
+        axy = R0[4] + R1w[4]
+        db_x = R0[0] + R1w[0]
+        db_y = R0[1] + R1w[1]
+    else:
+        dxm = dx[:, hb - bw:hb - bw + w + 2 * bw]
+        dym = dy[:, hb - bw:hb - bw + w + 2 * bw]
+        a_xx = (R0[2] + R1w[2]) * 0.5
+        a_yy = (R0[3] + R1w[3]) * 0.5
+        axy = (R0[4] + R1w[4]) * 0.25
+        db_x = (R0[0] - R1w[0]) * 0.5 + a_xx * dxm + axy * dym
+        db_y = (R0[1] - R1w[1]) * 0.5 + axy * dxm + a_yy * dym
 
-    mcols = w + 2 * bw
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 0) \
         + i * th - bw + row0
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 1) - bw
-    # damping varies only along each axis: build the two 1-D tapers and
-    # outer-product them — 10 selects on vectors instead of full tiles
-    damp = _damp_vec(row_ids[:, 0:1], h) * _damp_vec(col_ids[0:1, :], w)
-    a_xx = a_xx * damp
-    a_yy = a_yy * damp
-    axy = axy * damp
-    db_x = db_x * damp
-    db_y = db_y * damp
+    if "border" not in diag_skip and "damp" not in diag_skip:
+        # damping varies only along each axis: build the two 1-D tapers
+        # and outer-product them — 10 selects on vectors instead of full
+        # tiles
+        damp = _damp_vec(row_ids[:, 0:1], h) * _damp_vec(col_ids[0:1, :],
+                                                         w)
+        a_xx = a_xx * damp
+        a_yy = a_yy * damp
+        axy = axy * damp
+        db_x = db_x * damp
+        db_y = db_y * damp
 
-    m0 = a_xx * a_xx + axy * axy
-    m1 = (a_xx + a_yy) * axy
-    m2 = a_yy * a_yy + axy * axy
-    m3 = a_xx * db_x + axy * db_y
-    m4 = axy * db_x + a_yy * db_y
+    if "m" in diag_skip:
+        m0, m1, m2, m3, m4 = a_xx, a_yy, axy, db_x, db_y
+    else:
+        m0 = a_xx * a_xx + axy * axy
+        m1 = (a_xx + a_yy) * axy
+        m2 = a_yy * a_yy + axy * axy
+        m3 = a_xx * db_x + axy * db_y
+        m4 = axy * db_x + a_yy * db_y
 
-    # ---- replicate M at the IMAGE borders (XLA parity) ----
-    # the reference path computes M only inside the image and box-filters
-    # with replicate padding; warping at out-of-image positions gives a
-    # different (wrong) M, so overwrite the halo with the edge row/col.
-    ir = row_ids[:, 0:1]                          # (mrows, 1) image rows
-    ic = col_ids[0:1, :]                          # (1, mcols) image cols
-    top_sel = (ir == 0)
-    bot_sel = (ir == h - 1)
+    if "border" not in diag_skip:
+        # ---- replicate M at the IMAGE borders (XLA parity) ----
+        # the reference path computes M only inside the image and
+        # box-filters with replicate padding; warping at out-of-image
+        # positions gives a different (wrong) M, so overwrite the halo
+        # with the edge row/col.
+        ir = row_ids[:, 0:1]                      # (mrows, 1) image rows
+        ic = col_ids[0:1, :]                      # (1, mcols) image cols
+        top_sel = (ir == 0)
+        bot_sel = (ir == h - 1)
 
-    def row_fix(ms):
-        out = []
-        for m in ms:
-            top_row = jnp.sum(jnp.where(top_sel, m, 0.0), axis=0,
-                              keepdims=True)
-            bot_row = jnp.sum(jnp.where(bot_sel, m, 0.0), axis=0,
-                              keepdims=True)
-            m = jnp.where(ir < 0, top_row, m)
-            m = jnp.where(ir > h - 1, bot_row, m)
-            out.append(m)
-        return tuple(out)
+        def row_fix(ms):
+            out = []
+            for m in ms:
+                top_row = jnp.sum(jnp.where(top_sel, m, 0.0), axis=0,
+                                  keepdims=True)
+                bot_row = jnp.sum(jnp.where(bot_sel, m, 0.0), axis=0,
+                                  keepdims=True)
+                m = jnp.where(ir < 0, top_row, m)
+                m = jnp.where(ir > h - 1, bot_row, m)
+                out.append(m)
+            return tuple(out)
 
-    # only tiles straddling the image top/bottom have out-of-image M rows
-    # to replicate — guard the 5 x (2 reduce + 2 select) passes on a
-    # scalar so interior tiles skip them entirely
-    tile_lo = i * th - bw + row0
-    at_border = (tile_lo < 0) | (tile_lo + mrows > h)
-    m0, m1, m2, m3, m4 = jax.lax.cond(at_border, row_fix,
-                                      lambda ms: ms, (m0, m1, m2, m3, m4))
+        if "rowfix" not in diag_skip:
+            if "nocond" in diag_skip:
+                # diagnostic variant: unconditional row_fix (measures the
+                # lax.cond's own scheduling cost vs the guarded passes)
+                m0, m1, m2, m3, m4 = row_fix((m0, m1, m2, m3, m4))
+            else:
+                # only tiles straddling the image top/bottom have
+                # out-of-image M rows to replicate — guard the
+                # 5 x (2 reduce + 2 select) passes on a scalar so
+                # interior tiles skip them entirely
+                tile_lo = i * th - bw + row0
+                at_border = (tile_lo < 0) | (tile_lo + mrows > h)
+                m0, m1, m2, m3, m4 = jax.lax.cond(at_border, row_fix,
+                                                  lambda ms: ms,
+                                                  (m0, m1, m2, m3, m4))
 
-    def col_fix(m):
-        m = jnp.where(ic < 0, m[:, bw:bw + 1], m)
-        m = jnp.where(ic > w - 1, m[:, w + bw - 1:w + bw], m)
-        return m
+        if "colfix" not in diag_skip:
+            def col_fix(m):
+                m = jnp.where(ic < 0, m[:, bw:bw + 1], m)
+                m = jnp.where(ic > w - 1, m[:, w + bw - 1:w + bw], m)
+                return m
 
-    m0, m1, m2, m3, m4 = (col_fix(m) for m in (m0, m1, m2, m3, m4))
+            m0, m1, m2, m3, m4 = (col_fix(m)
+                                  for m in (m0, m1, m2, m3, m4))
 
     # ---- separable winsize smoothing + 2x2 solve ----
     taps = 2 * bw + 1
@@ -270,6 +314,14 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
         ci = jax.lax.broadcasted_iota(jnp.int32, (th, mrows), 1)
         Bv = ((ci >= ri) & (ci < ri + taps)).astype(jnp.float32)
     ms = (m0, m1, m2, m3, m4)
+    if "box" in diag_skip:
+        # diagnostic knockout: center crop stands in for the smoothed M
+        g11, g12, g22, h1, h2 = (m[bw:bw + th, bw:bw + w].astype(
+            jnp.float32) for m in ms)
+        idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+        out_ref[0, :, :] = (g22 * h1 - g12 * h2) * idet
+        out_ref[1, :, :] = (g11 * h2 - g12 * h1) * idet
+        return
     if box_bf16:
         # bf16 box accumulation: the smoothing sums run on packed (16,128)
         # bf16 vregs — half the vector-register traffic of the 5x16
@@ -318,6 +370,10 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                 hsum = t if hsum is None else hsum + t
         outs.append(hsum.astype(jnp.float32))
     g11, g12, g22, h1, h2 = outs
+    if "solve" in diag_skip:
+        out_ref[0, :, :] = h1
+        out_ref[1, :, :] = h2
+        return
     idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
     out_ref[0, :, :] = (g22 * h1 - g12 * h2) * idet
     out_ref[1, :, :] = (g11 * h2 - g12 * h1) * idet
@@ -327,7 +383,8 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                                              "gaussian", "tile_h",
                                              "interpret", "img_h",
                                              "shift_skip", "vbox_mxu",
-                                             "box_bf16", "warp_bf16"))
+                                             "box_bf16", "warp_bf16",
+                                             "diag_skip"))
 def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               winsize: int, max_disp: int, gaussian: bool = False,
               tile_h: int = 0, interpret: bool = False,
@@ -335,7 +392,8 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               shift_skip: bool = False,
               vbox_mxu: bool = False,
               box_bf16: bool = False,
-              warp_bf16: bool = False) -> jnp.ndarray:
+              warp_bf16: bool = False,
+              diag_skip: str = "") -> jnp.ndarray:
     """One fused Farneback iteration (warp included).
 
     R0p, R1p: (5, H, W) UNWARPED polyexp planes (f32 or bf16 storage —
@@ -419,10 +477,15 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
         scratch += [pltpu.VMEM((5, mrows, wp), acc_dt),
                     pltpu.VMEM((5, mrows, w + 2 * bw), acc_dt)]
 
+    # diag_skip: comma-separated phase knockouts for perf decomposition
+    # ("dma", "warp", "m", "border", "box", "solve") — WRONG OUTPUTS by
+    # design, used only by tools/fi_phase_ab.py. Each knockout keeps the
+    # upstream dataflow alive so the remaining phases are not DCE'd.
+    dsk = frozenset(t for t in diag_skip.split(",") if t)
     out = pl.pallas_call(
         functools.partial(_flow_iter_kernel, th, w, hg, bw, D, rows,
                           weights, has_row0, shift_skip, vbox_mxu,
-                          box_bf16, warp_bf16),
+                          box_bf16, warp_bf16, dsk),
         grid=(h_pad // th,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((2, th, w), lambda i: (0, i, 0),

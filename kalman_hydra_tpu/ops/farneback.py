@@ -448,6 +448,8 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
     if impl == "pallas":
         from ..kernels.flow_iter_pallas import flow_iter as _fi
         from ..kernels.flow_update_pallas import flow_update as _fu
+        from ..kernels.flow_level_pallas import flow_level as _flvl
+        from ..kernels.flow_level_pallas import fits_vmem as _flvl_fits
     flow_p = None
     for li in range(len(Rs_a)):
         R0p, R1p = Rs_a[li], Rs_b[li]
@@ -461,6 +463,21 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                 flow_p = jnp.zeros((2, lh, lw), jnp.float32)
         else:
             flow_p = resize_linear(flow_p, lh, lw) * (1.0 / cfg.pyr_scale)
+        if impl == "pallas" and cfg.fast_warp > 0:
+            # coarse levels that fit VMEM run ALL iterations in ONE
+            # launch (flow carry stays on-chip) — the per-iteration
+            # launch + pad/crop dispatch overhead dominates their
+            # compute (tools/fi_decomp_ab.py). KH_FI_LEVEL=0 reverts to
+            # per-iteration kernels (trace-time knob, KH_FI_TH caveat).
+            import os as _os
+            if (_os.environ.get("KH_FI_LEVEL", "1") == "1"
+                    and _flvl_fits(lh, lw, cfg.winsize, cfg.fast_warp,
+                                   R0p.dtype.itemsize)):
+                flow_p = _flvl(R0p, R1p, flow_p, cfg.winsize,
+                               cfg.fast_warp, cfg.iterations,
+                               gaussian=cfg.gaussian_win,
+                               interpret=interpret)
+                continue
         for _ in range(cfg.iterations):
             if impl == "pallas":
                 if cfg.fast_warp > 0:

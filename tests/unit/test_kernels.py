@@ -172,6 +172,48 @@ def test_flow_iter_kernel_bf16_planes(rng):
     assert float(jnp.abs(got - ref).max()) < 0.05
 
 
+@pytest.mark.parametrize("win,gaussian,iters", [(15, False, 3),
+                                                (15, True, 2),
+                                                (13, False, 1)])
+def test_flow_level_kernel_matches_xla(win, gaussian, iters, rng):
+    """Whole-level multi-iteration kernel (coarse levels): all `iters`
+    warp+M+box+solve passes in one launch must match `iters` sequential
+    XLA fast-warp iterations, including the in-kernel flow-halo edge
+    replication between iterations."""
+    from kalman_hydra_tpu.kernels.flow_level_pallas import flow_level
+    h, w = 67, 91
+    R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    fl = jnp.asarray(rng.uniform(-5, 5, (2, h, w)).astype(np.float32))
+    ref = fl
+    for _ in range(iters):
+        ref = FB.update_flow_p(
+            FB.update_matrices_p(R0, R1, ref, fast_warp=8), win, gaussian)
+    got = flow_level(R0, R1, fl, win, 8, iters, gaussian=gaussian,
+                     interpret=True)
+    assert float(jnp.abs(got - ref).max()) < 1e-4
+
+
+def test_flow_level_kernel_bf16_planes(rng):
+    """bf16 plane storage through the whole-level kernel tracks the XLA
+    twin with the same storage rounding."""
+    from kalman_hydra_tpu.kernels.flow_level_pallas import flow_level
+    h, w = 48, 80
+    R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    fl = jnp.asarray(rng.uniform(-3, 3, (2, h, w)).astype(np.float32))
+    ref = fl
+    for _ in range(2):
+        ref = FB.update_flow_p(
+            FB.update_matrices_p(R0.astype(jnp.bfloat16),
+                                 R1.astype(jnp.bfloat16), ref,
+                                 fast_warp=8).astype(jnp.float32),
+            15, False)
+    got = flow_level(R0.astype(jnp.bfloat16), R1.astype(jnp.bfloat16),
+                     fl, 15, 8, 2, interpret=True)
+    assert float(jnp.abs(got - ref).max()) < 0.05
+
+
 @pytest.mark.parametrize("K", [600, 700])
 def test_ekf_kernel_tail_tile(K, rng):
     """Padded track counts in (512, 1024) not divisible by 512 must still

@@ -53,7 +53,8 @@ def main():
     from kalman_hydra_tpu.io.synthetic import translating_pair
 
     which = set(args) or {"pyramid", "levels", "scharr", "polyexp",
-                          "flow_update", "flow_iter", "ekf", "lk"}
+                          "flow_update", "flow_iter", "flow_level",
+                          "ekf", "lk"}
     print(f"device: {jax.devices()[0]}; kernels: {sorted(which)}",
           flush=True)
     a, b, _ = translating_pair(height=270, width=480, shift=(2.0, -1.3))
@@ -158,6 +159,30 @@ def main():
             .astype(jnp.float32), 15, False)
         ok &= check("flow_iter band", got_b[:, RP:-RP], ref_b[:, 64:128],
                     1e-3)
+
+    if "flow_level" in which:
+        from kalman_hydra_tpu.kernels.flow_level_pallas import flow_level
+        from kalman_hydra_tpu.ops.farneback import (
+            poly_expansion_p, update_matrices_p, update_flow_p)
+        # coarse-level size (L2 of a 1080p pyramid)
+        ac = a_d[:136, :240]
+        bc = b_d[:136, :240]
+        R0 = poly_expansion_p(ac, 5, 1.1)
+        R1 = poly_expansion_p(bc, 5, 1.1)
+        rng0 = np.random.default_rng(2)
+        fl = jnp.asarray(rng0.uniform(-4, 4, (2, 136, 240))
+                         .astype(np.float32))
+        ref = fl
+        for _ in range(3):
+            ref = update_flow_p(
+                update_matrices_p(R0, R1, ref, fast_warp=8)
+                .astype(jnp.float32), 15, False)
+        t0 = time.time()
+        got = flow_level(R0, R1, fl, 15, 8, 3)
+        ok &= check(f"flow_level ({time.time()-t0:.0f}s)", got, ref, 1e-3)
+        got = flow_level(R0.astype(jnp.bfloat16), R1.astype(jnp.bfloat16),
+                         fl, 15, 8, 3)
+        ok &= check("flow_level bf16", got, ref, 0.25)
 
     if "ekf" in which:
         from kalman_hydra_tpu.kernels.ekf_pallas import ekf_fused_step
