@@ -54,7 +54,8 @@ def _damp_vec(abs_idx, limit):
 
 def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                       rows: int, weights, has_row0, shift_skip,
-                      vbox_mxu, box_bf16, warp_bf16, diag_skip, *refs):
+                      vbox_mxu, box_bf16, warp_bf16, border_v2,
+                      diag_skip, *refs):
     """Double-buffered slab pipeline: scratch slabs have a leading 2-slot
     axis; step i computes from slot i%2 while the DMAs for tile i+1 land
     in slot (i+1)%2 (started before this step's wait, so the copies
@@ -228,6 +229,66 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
         db_x = (R0[0] - R1w[0]) * 0.5 + a_xx * dxm + axy * dym
         db_y = (R0[1] - R1w[1]) * 0.5 + axy * dxm + a_yy * dym
 
+    if border_v2 and not diag_skip:
+        # ---- border handling v2 (exact; scheduling-friendly) ----
+        # The 2-D damp factors through the M products:
+        #   m_k(damp*a, damp*db) = damp^2 * m_k(a, db),  damp = dr * dc
+        # so the COLUMN taper applies as a cheap (1, mcols) row-vector
+        # multiply on every tile, and the ROW taper becomes a dr^2
+        # post-product scale needed only on tiles within _BORDER rows of
+        # the image top/bottom — folded into the same rare lax.cond
+        # branch as the out-of-image row replication. Interior tiles
+        # (15 of 17 at 1080p/th=64) run no (mrows, mcols) iotas, no 2-D
+        # damp build, and no (mrows, 1) column-vector ops at all — the
+        # v1 formulation's every-tile cost was ~80% of the kernel
+        # (tools/fi_phase_ab.py knockouts, BASELINE.md round-3).
+        ic = jax.lax.broadcasted_iota(jnp.int32, (1, mcols), 1) - bw
+        dc = _damp_vec(ic, w)
+        a_xx = a_xx * dc
+        a_yy = a_yy * dc
+        axy = axy * dc
+        db_x = db_x * dc
+        db_y = db_y * dc
+
+        m0 = a_xx * a_xx + axy * axy
+        m1 = (a_xx + a_yy) * axy
+        m2 = a_yy * a_yy + axy * axy
+        m3 = a_xx * db_x + axy * db_y
+        m4 = axy * db_x + a_yy * db_y
+
+        # row taper (dr^2) + out-of-image row replication, UNGUARDED:
+        # for interior tiles these are exact no-ops (dr = 1, the ir
+        # selects never fire), and the sub-phase study showed a guarding
+        # lax.cond costs MORE than the guarded passes (its pipeline
+        # break beats the 5 x (mul + 2 reduce + 2 select) it saves —
+        # "nocond" KO, BASELINE.md round-3)
+        ir = jax.lax.broadcasted_iota(jnp.int32, (mrows, 1), 0) \
+            + i * th - bw + row0
+        dr = _damp_vec(ir, h)
+        dr2 = dr * dr
+        top_sel = (ir == 0)
+        bot_sel = (ir == h - 1)
+        fixed = []
+        for m in (m0, m1, m2, m3, m4):
+            m = m * dr2
+            top_row = jnp.sum(jnp.where(top_sel, m, 0.0), axis=0,
+                              keepdims=True)
+            bot_row = jnp.sum(jnp.where(bot_sel, m, 0.0), axis=0,
+                              keepdims=True)
+            m = jnp.where(ir < 0, top_row, m)
+            m = jnp.where(ir > h - 1, bot_row, m)
+            fixed.append(m)
+        m0, m1, m2, m3, m4 = fixed
+
+        def col_fix2(m):
+            m = jnp.where(ic < 0, m[:, bw:bw + 1], m)
+            m = jnp.where(ic > w - 1, m[:, w + bw - 1:w + bw], m)
+            return m
+
+        m0, m1, m2, m3, m4 = (col_fix2(m) for m in (m0, m1, m2, m3, m4))
+        return _box_solve(th, w, bw, weights, vbox_mxu, box_bf16,
+                          diag_skip, out_ref, (m0, m1, m2, m3, m4))
+
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 0) \
         + i * th - bw + row0
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 1) - bw
@@ -300,7 +361,14 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
             m0, m1, m2, m3, m4 = (col_fix(m)
                                   for m in (m0, m1, m2, m3, m4))
 
-    # ---- separable winsize smoothing + 2x2 solve ----
+    return _box_solve(th, w, bw, weights, vbox_mxu, box_bf16, diag_skip,
+                      out_ref, (m0, m1, m2, m3, m4))
+
+
+def _box_solve(th, w, bw, weights, vbox_mxu, box_bf16, diag_skip,
+               out_ref, ms_in):
+    """Separable winsize smoothing + 2x2 solve (shared kernel tail)."""
+    m0, m1, m2, m3, m4 = ms_in
     taps = 2 * bw + 1
     box_split = weights is None        # uniform box, 3xA factored
     Bv = None
@@ -384,7 +452,7 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                                              "interpret", "img_h",
                                              "shift_skip", "vbox_mxu",
                                              "box_bf16", "warp_bf16",
-                                             "diag_skip"))
+                                             "border_v2", "diag_skip"))
 def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               winsize: int, max_disp: int, gaussian: bool = False,
               tile_h: int = 0, interpret: bool = False,
@@ -393,6 +461,7 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               vbox_mxu: bool = False,
               box_bf16: bool = False,
               warp_bf16: bool = False,
+              border_v2: bool = False,
               diag_skip: str = "") -> jnp.ndarray:
     """One fused Farneback iteration (warp included).
 
@@ -485,7 +554,7 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_flow_iter_kernel, th, w, hg, bw, D, rows,
                           weights, has_row0, shift_skip, vbox_mxu,
-                          box_bf16, warp_bf16, dsk),
+                          box_bf16, warp_bf16, border_v2, dsk),
         grid=(h_pad // th,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((2, th, w), lambda i: (0, i, 0),

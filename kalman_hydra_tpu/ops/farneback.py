@@ -517,6 +517,12 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                                  # accumulation (R1 stays in slab dtype)
                                  warp_bf16=_os.environ.get(
                                      "KH_FI_WARPBF16", "0") == "1",
+                                 # KH_FI_BORDER2=1: scheduling-friendly
+                                 # border handling (column taper as a
+                                 # row-vector, row taper + edge fix in
+                                 # the rare border-tile branch; exact)
+                                 border_v2=_os.environ.get(
+                                     "KH_FI_BORDER2", "0") == "1",
                                  interpret=interpret)
                 else:
                     # exact-warp path: gather in XLA, rest fused. This is

@@ -137,6 +137,22 @@ def test_flow_iter_kernel_shift_skip_exact(rng):
         assert float(jnp.abs(got - ref).max()) < 1e-6
 
 
+def test_flow_iter_kernel_border_v2_exact(rng):
+    """border_v2 (column taper as row-vector + dr^2 post-product scale in
+    the rare border branch) must match the v1 formulation to float noise
+    on tiles with and without image borders."""
+    from kalman_hydra_tpu.kernels.flow_iter_pallas import flow_iter
+    for h, w, th in [(70, 90, 32), (96, 90, 16)]:
+        R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+        R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+        fl = jnp.asarray(rng.uniform(-5, 5, (2, h, w)).astype(np.float32))
+        ref = FB.update_flow_p(
+            FB.update_matrices_p(R0, R1, fl, fast_warp=8), 15, False)
+        got = flow_iter(R0, R1, fl, 15, 8, False, tile_h=th,
+                        interpret=True, shift_skip=True, border_v2=True)
+        assert float(jnp.abs(got - ref).max()) < 1e-4
+
+
 def test_flow_iter_kernel_band_mode(rng):
     """Band mode (row0/img_h): a mid-image slab with its global row
     offset reproduces the full-image rows in the band interior."""
