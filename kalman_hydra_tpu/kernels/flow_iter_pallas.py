@@ -447,12 +447,54 @@ def _box_solve(th, w, bw, weights, vbox_mxu, box_bf16, diag_skip,
     out_ref[1, :, :] = (g11 * h2 - g12 * h1) * idet
 
 
+def fi_geometry(h: int, w: int, winsize: int, max_disp: int,
+                tile_h: int, itemsize: int):
+    """Tile/padding geometry shared by flow_iter and prep_planes."""
+    bw = winsize // 2
+    hb = bw + int(max_disp)
+    # sublane alignment for the manual HBM->VMEM DMAs: 8 rows for 4-byte
+    # dtypes, 16 for bf16 (the packed register tile is (16, 128))
+    align = 16 if itemsize < 4 else 8
+    th = tile_h or 32
+    if th % align != 0:
+        # the manual HBM->VMEM DMA offsets are i*th rows: a tile height
+        # off the dtype's sublane alignment (8 f32 / 16 bf16) is rejected
+        # by Mosaic at compile time ON HARDWARE ONLY — round up here so a
+        # KH_FI_TH A/B sweep can't silently produce an uncompilable config
+        th = _round_up(th, align)
+    th = th if h >= th else _round_up(h, align)
+    h_pad = _round_up(h, th)
+    rows = _round_up(th + 2 * hb + 1, align)
+    extra = rows - (th + 2 * hb)
+    wp = _round_up(w + 2 * hb + 1, 128)
+    return th, h_pad, rows, extra, wp, hb, bw
+
+
+@functools.partial(jax.jit, static_argnames=("winsize", "max_disp",
+                                             "tile_h"))
+def prep_planes(R: jnp.ndarray, winsize: int, max_disp: int,
+                tile_h: int = 0) -> jnp.ndarray:
+    """Edge+zero-pad polyexp planes into flow_iter's slab layout ONCE.
+
+    The padded result can be passed to flow_iter(img_hw=(h, w)) for
+    every iteration of a level — the planes are iteration-invariant, so
+    re-padding them inside each call wasted ~2/3 of the per-frame XLA
+    pad traffic (BASELINE.md round-3 session-3)."""
+    _, h, w = R.shape
+    th, h_pad, rows, extra, wp, hb, bw = fi_geometry(
+        h, w, winsize, max_disp, tile_h, R.dtype.itemsize)
+    x = jnp.pad(R, ((0, 0), (hb, hb), (hb, hb)), mode="edge")
+    return jnp.pad(x, ((0, 0), (0, h_pad - h + extra),
+                       (0, wp - (w + 2 * hb))))
+
+
 @functools.partial(jax.jit, static_argnames=("winsize", "max_disp",
                                              "gaussian", "tile_h",
                                              "interpret", "img_h",
                                              "shift_skip", "vbox_mxu",
                                              "box_bf16", "warp_bf16",
-                                             "border_v2", "diag_skip"))
+                                             "border_v2", "img_hw",
+                                             "diag_skip"))
 def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               winsize: int, max_disp: int, gaussian: bool = False,
               tile_h: int = 0, interpret: bool = False,
@@ -462,6 +504,7 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               box_bf16: bool = False,
               warp_bf16: bool = False,
               border_v2: bool = False,
+              img_hw=None,
               diag_skip: str = "") -> jnp.ndarray:
     """One fused Farneback iteration (warp included).
 
@@ -482,42 +525,41 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
     coordinates. Requires tile height >= winsize//2 + max_disp + 1 so
     the global top border falls in grid step 0 (default th=32 is fine).
     """
-    _, h, w = R0p.shape
-    bw = winsize // 2
+    if img_hw is not None:
+        # R0p/R1p arrive PRE-PADDED by prep_planes (pad once per level,
+        # not once per iteration); flow_p is unpadded as usual
+        h, w = img_hw
+    else:
+        _, h, w = R0p.shape
     D = int(max_disp)
-    hb = bw + D
     if gaussian:
-        kern = gaussian_kernel(2 * bw + 1, bw * 0.3).astype(np.float64)
+        kern = gaussian_kernel(2 * (winsize // 2) + 1,
+                               (winsize // 2) * 0.3).astype(np.float64)
         weights = tuple(np.float32(v) for v in kern)
-    elif (2 * bw + 1) % 3 == 0:
+    elif (2 * (winsize // 2) + 1) % 3 == 0:
         weights = None              # uniform box: factored 3xA taps
     else:
-        kern = np.full(2 * bw + 1, 1.0 / (2 * bw + 1), dtype=np.float64)
+        kern = np.full(2 * (winsize // 2) + 1,
+                       1.0 / (2 * (winsize // 2) + 1), dtype=np.float64)
         weights = tuple(np.float32(v) for v in kern)
 
-    # sublane alignment for the manual HBM->VMEM DMAs: 8 rows for 4-byte
-    # dtypes, 16 for bf16 (the packed register tile is (16, 128))
-    align = 16 if R0p.dtype.itemsize < 4 else 8
-    th = tile_h or 32
-    if th % align != 0:
-        # the manual HBM->VMEM DMA offsets are i*th rows: a tile height
-        # off the dtype's sublane alignment (8 f32 / 16 bf16) is rejected
-        # by Mosaic at compile time ON HARDWARE ONLY — round up here so a
-        # KH_FI_TH A/B sweep can't silently produce an uncompilable config
-        th = _round_up(th, align)
-    th = th if h >= th else _round_up(h, align)
-    h_pad = _round_up(h, th)
-    rows = _round_up(th + 2 * hb + 1, align)
-    extra = rows - (th + 2 * hb)
-    wp = _round_up(w + 2 * hb + 1, 128)
+    th, h_pad, rows, extra, wp, hb, bw = fi_geometry(
+        h, w, winsize, max_disp, tile_h, R0p.dtype.itemsize)
 
     def prep(x):
         x = jnp.pad(x, ((0, 0), (hb, hb), (hb, hb)), mode="edge")
         return jnp.pad(x, ((0, 0), (0, h_pad - h + extra),
                            (0, wp - (w + 2 * hb))))
 
-    r0 = prep(R0p)
-    r1 = prep(R1p)
+    if img_hw is not None:
+        r0, r1 = R0p, R1p
+        if r0.shape[1:] != (h_pad - h + extra + h + 2 * hb, wp):
+            raise ValueError(
+                f"pre-padded planes {r0.shape} do not match the "
+                f"fi_geometry for img_hw={img_hw}, tile_h={tile_h}")
+    else:
+        r0 = prep(R0p)
+        r1 = prep(R1p)
     fl = prep(flow_p)
 
     has_row0 = row0 is not None

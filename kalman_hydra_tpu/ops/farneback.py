@@ -478,52 +478,53 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                                gaussian=cfg.gaussian_win,
                                interpret=interpret)
                 continue
+            # FULLY fused iterations: select-sum warp + normal equations
+            # + winsize smoothing + solve in one kernel per iteration.
+            # Planes go in at storage dtype (bf16 halves the slab DMA
+            # bytes; accumulation is f32 inside the kernel) and are
+            # padded into the slab layout ONCE per level (prep_planes) —
+            # they are iteration-invariant, so per-call padding tripled
+            # the XLA pad traffic.
+            # KH_FI_TH: row-tile height A/B knob (0 = kernel default).
+            # NOTE: env knobs are read at JIT TRACE time — changing them
+            # later in the same process has no effect on an already-
+            # traced callable; A/B sweeps must use a fresh interpreter
+            # per setting (bench.py does).
+            # KH_FI_SKIP=1: tile-adaptive shift skipping (exact).
+            # KH_FI_BOXBF16=1: bf16 winsize-box accumulation (~1e-3 px).
+            # KH_FI_WARPBF16=1: bf16 select-sum warp accumulation.
+            # KH_FI_BORDER2=1: scheduling-friendly border handling
+            # (column taper as a row-vector; unguarded dr^2 + edge fix).
+            from ..kernels.flow_iter_pallas import prep_planes as _prep
+            _th_env = _os.environ.get("KH_FI_TH")
+            _sk_env = _os.environ.get("KH_FI_SKIP")
+            _th = int(_th_env) if _th_env is not None else cfg.fi_tile_h
+            _sk = (_sk_env == "1" if _sk_env is not None
+                   else cfg.fi_shift_skip)
+            R0pp = _prep(R0p, cfg.winsize, cfg.fast_warp, tile_h=_th)
+            R1pp = _prep(R1p, cfg.winsize, cfg.fast_warp, tile_h=_th)
+            for _ in range(cfg.iterations):
+                flow_p = _fi(R0pp, R1pp, flow_p,
+                             cfg.winsize, cfg.fast_warp,
+                             cfg.gaussian_win,
+                             tile_h=_th,
+                             shift_skip=_sk,
+                             vbox_mxu=_os.environ.get(
+                                 "KH_FI_VBOX", "0") == "1",
+                             box_bf16=_os.environ.get(
+                                 "KH_FI_BOXBF16", "0") == "1",
+                             warp_bf16=_os.environ.get(
+                                 "KH_FI_WARPBF16", "0") == "1",
+                             border_v2=_os.environ.get(
+                                 "KH_FI_BORDER2", "0") == "1",
+                             img_hw=(lh, lw),
+                             interpret=interpret)
+            continue
         for _ in range(cfg.iterations):
             if impl == "pallas":
                 if cfg.fast_warp > 0:
-                    # FULLY fused iteration: select-sum warp + normal
-                    # equations + winsize smoothing + solve in one kernel.
-                    # Planes go in at storage dtype (bf16 halves the slab
-                    # DMA bytes; accumulation is f32 inside the kernel).
-                    # KH_FI_TH: row-tile height A/B knob (0 = kernel
-                    # default; relay timing is too noisy at kernel
-                    # granularity, so tiles are compared bench-level).
-                    # NOTE: read at JIT TRACE time — changing the env var
-                    # later in the same process has no effect on an
-                    # already-traced callable; A/B sweeps must use a fresh
-                    # interpreter per setting (bench.py does).
-                    # KH_FI_SKIP=1: tile-adaptive shift skipping (exact;
-                    # pl.when-guards warp shifts outside the tile's
-                    # displacement range). Same trace-time caveat.
-                    import os as _os
-                    _th_env = _os.environ.get("KH_FI_TH")
-                    _sk_env = _os.environ.get("KH_FI_SKIP")
-                    flow_p = _fi(R0p, R1p, flow_p,
-                                 cfg.winsize, cfg.fast_warp,
-                                 cfg.gaussian_win,
-                                 tile_h=(int(_th_env) if _th_env is not None
-                                         else cfg.fi_tile_h),
-                                 shift_skip=(_sk_env == "1"
-                                             if _sk_env is not None
-                                             else cfg.fi_shift_skip),
-                                 vbox_mxu=_os.environ.get(
-                                     "KH_FI_VBOX", "0") == "1",
-                                 # KH_FI_BOXBF16=1: bf16 winsize-box
-                                 # accumulation (packed vregs; ~1e-3 px
-                                 # EPE, mirrors bf16 M storage policy)
-                                 box_bf16=_os.environ.get(
-                                     "KH_FI_BOXBF16", "0") == "1",
-                                 # KH_FI_WARPBF16=1: bf16 select-sum warp
-                                 # accumulation (R1 stays in slab dtype)
-                                 warp_bf16=_os.environ.get(
-                                     "KH_FI_WARPBF16", "0") == "1",
-                                 # KH_FI_BORDER2=1: scheduling-friendly
-                                 # border handling (column taper as a
-                                 # row-vector, row taper + edge fix in
-                                 # the rare border-tile branch; exact)
-                                 border_v2=_os.environ.get(
-                                     "KH_FI_BORDER2", "0") == "1",
-                                 interpret=interpret)
+                    raise AssertionError("unreachable: pallas fast_warp "
+                                         "handled above")
                 else:
                     # exact-warp path: gather in XLA, rest fused. This is
                     # the bit-parity mode, so bf16-stored planes upcast to
