@@ -411,8 +411,11 @@ def main():
             metric = "fps_per_chip_quick"
             base = None
         elif args.config == 0:
+            # KH_DIAG_TRACKS: DIAGNOSTIC-only track-count override for
+            # cost decomposition (EKF/tracking share of the step)
             fps, extra = _retry(lambda: bench_fused_pipeline(
-                1080, 1920, t=9, num_tracks=1024))
+                1080, 1920, t=9,
+                num_tracks=int(os.environ.get("KH_DIAG_TRACKS", "1024"))))
             metric = "fps_per_chip_1080p_fused_flow_ekf"
             base = CPU_BASELINE_1080P_FPS
             # the metric definition (BASELINE.json:2) pairs 1080p fps with

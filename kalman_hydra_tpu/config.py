@@ -82,6 +82,12 @@ class FlowConfig:
     fi_shift_skip: bool = True  # tile-adaptive select-sum shift skipping
                                # (exact: skipped terms are identically
                                # zero). KH_FI_SKIP overrides.
+    fi_level_fused: bool = True  # coarse levels that fit VMEM run all
+                               # iterations in ONE whole-level kernel
+                               # launch (flow carry on-chip; hardware
+                               # parity 1.4e-6; cfg2 480p 1130 -> 1270
+                               # fps). KH_FI_LEVEL overrides at trace
+                               # time.
 
     def __post_init__(self):
         if self.method not in ("farneback", "lk_dense", "lk_sparse"):

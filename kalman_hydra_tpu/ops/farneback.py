@@ -470,8 +470,10 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
             # compute (tools/fi_decomp_ab.py). KH_FI_LEVEL=0 reverts to
             # per-iteration kernels (trace-time knob, KH_FI_TH caveat).
             import os as _os
-            if (_os.environ.get("KH_FI_LEVEL", "1") == "1"
-                    and _flvl_fits(lh, lw, cfg.winsize, cfg.fast_warp,
+            _lv_env = _os.environ.get("KH_FI_LEVEL")
+            _lv = (_lv_env == "1" if _lv_env is not None
+                   else cfg.fi_level_fused)
+            if (_lv and _flvl_fits(lh, lw, cfg.winsize, cfg.fast_warp,
                                    R0p.dtype.itemsize)):
                 flow_p = _flvl(R0p, R1p, flow_p, cfg.winsize,
                                cfg.fast_warp, cfg.iterations,
