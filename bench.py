@@ -179,8 +179,16 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
         def body(_i, acc):
             s = base_seeds + acc * 1e-20   # carry dep: defeats LICM
             if batch > 1:
-                outs = jax.vmap(
-                    lambda fr: pl.track_arrays(fr, cfg, seeds=s))(f)
+                # vmap cannot lower the manual-DMA Pallas kernels
+                # (ANY-space blocks reject the added batch dim), so the
+                # pallas impl maps clips sequentially — same aggregate
+                # throughput semantics, no cross-clip interleave
+                if cfg.impl == "pallas":
+                    outs = lax.map(
+                        lambda fr: pl.track_arrays(fr, cfg, seeds=s), f)
+                else:
+                    outs = jax.vmap(
+                        lambda fr: pl.track_arrays(fr, cfg, seeds=s))(f)
             else:
                 outs = pl.track_arrays(f, cfg, seeds=s)
             return acc + jnp.sum(outs["pos"][-1]) * 1e-6

@@ -23,8 +23,9 @@ def flow(a: np.ndarray, b: np.ndarray,
     depending on cfg.method (SURVEY.md §3.2).
     """
     cfg = cfg or FlowConfig()
-    a_j = jnp.asarray(np.asarray(a, dtype=np.float32))
-    b_j = jnp.asarray(np.asarray(b, dtype=np.float32))
+    from .ops.color import grayscale_u8
+    a_j = grayscale_u8(jnp.asarray(np.asarray(a)))
+    b_j = grayscale_u8(jnp.asarray(np.asarray(b)))
     if cfg.method == "farneback":
         from .ops.farneback import farneback as _fb
         out = jax.jit(_fb, static_argnames="cfg")(a_j, b_j, cfg)

@@ -55,7 +55,7 @@ def _damp_vec(abs_idx, limit):
 def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                       rows: int, weights, has_row0, shift_skip,
                       vbox_mxu, box_bf16, warp_bf16, border_v2,
-                      diag_skip, *refs):
+                      box_stacked, diag_skip, *refs):
     """Double-buffered slab pipeline: scratch slabs have a leading 2-slot
     axis; step i computes from slot i%2 while the DMAs for tile i+1 land
     in slot (i+1)%2 (started before this step's wait, so the copies
@@ -287,7 +287,8 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
 
         m0, m1, m2, m3, m4 = (col_fix2(m) for m in (m0, m1, m2, m3, m4))
         return _box_solve(th, w, bw, weights, vbox_mxu, box_bf16,
-                          diag_skip, out_ref, (m0, m1, m2, m3, m4))
+                          diag_skip, out_ref, (m0, m1, m2, m3, m4),
+                          box_stacked=box_stacked)
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 0) \
         + i * th - bw + row0
@@ -362,15 +363,58 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                                   for m in (m0, m1, m2, m3, m4))
 
     return _box_solve(th, w, bw, weights, vbox_mxu, box_bf16, diag_skip,
-                      out_ref, (m0, m1, m2, m3, m4))
+                      out_ref, (m0, m1, m2, m3, m4),
+                      box_stacked=box_stacked)
 
 
 def _box_solve(th, w, bw, weights, vbox_mxu, box_bf16, diag_skip,
-               out_ref, ms_in):
+               out_ref, ms_in, box_stacked=False):
     """Separable winsize smoothing + 2x2 solve (shared kernel tail)."""
     m0, m1, m2, m3, m4 = ms_in
     taps = 2 * bw + 1
     box_split = weights is None        # uniform box, 3xA factored
+    if (box_stacked and box_split and not vbox_mxu and not box_bf16
+            and not diag_skip):
+        # all 5 M planes concatenated on the LANE axis share every box
+        # pass: 16 full-width shifted adds instead of 5 x 16 — same
+        # FLOPs, 5x fewer scheduled ops (the kernel is Mosaic-
+        # scheduling bound, BASELINE.md round-3). Horizontal reads never
+        # cross a plane boundary: within plane span [p*mcols,
+        # (p+1)*mcols), the max read is j + k <= (w - 1) + 2*bw
+        # = mcols - 1.
+        mcols = m0.shape[1]
+        W5 = 5 * mcols
+        a = taps // 3
+        inv = 1.0 / taps
+        stk = jnp.concatenate([m0, m1, m2, m3, m4], axis=1)
+        s3 = None
+        for k in range(3):
+            t = stk[k:k + th + taps - 3, :]
+            s3 = t if s3 is None else s3 + t
+        vsum = None
+        for j in range(a):
+            t = s3[3 * j:3 * j + th, :]
+            vsum = t if vsum is None else vsum + t
+        # horizontal: uniform-width shifted adds over the stacked lanes;
+        # the final width W5 - (taps - 1) = 4*mcols + w + 2*bw - taps + 1
+        # still covers every plane's [p*mcols, p*mcols + w) output span
+        W3 = W5 - 2
+        s3h = None
+        for k in range(3):
+            t = vsum[:, k:k + W3]
+            s3h = t if s3h is None else s3h + t
+        Wt = W3 - 3 * (a - 1)
+        hsum = None
+        for j in range(a):
+            t = s3h[:, 3 * j:3 * j + Wt]
+            hsum = t if hsum is None else hsum + t
+        hsum = hsum * (inv * inv)
+        g11, g12, g22, h1, h2 = (
+            hsum[:, p * mcols:p * mcols + w] for p in range(5))
+        idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+        out_ref[0, :, :] = (g22 * h1 - g12 * h2) * idet
+        out_ref[1, :, :] = (g11 * h2 - g12 * h1) * idet
+        return
     Bv = None
     if box_split and vbox_mxu:
         # vertical box as ONE banded-matrix MXU contraction per plane:
@@ -494,6 +538,7 @@ def prep_planes(R: jnp.ndarray, winsize: int, max_disp: int,
                                              "shift_skip", "vbox_mxu",
                                              "box_bf16", "warp_bf16",
                                              "border_v2", "img_hw",
+                                             "box_stacked",
                                              "diag_skip"))
 def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               winsize: int, max_disp: int, gaussian: bool = False,
@@ -505,6 +550,7 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               warp_bf16: bool = False,
               border_v2: bool = False,
               img_hw=None,
+              box_stacked: bool = False,
               diag_skip: str = "") -> jnp.ndarray:
     """One fused Farneback iteration (warp included).
 
@@ -596,7 +642,8 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_flow_iter_kernel, th, w, hg, bw, D, rows,
                           weights, has_row0, shift_skip, vbox_mxu,
-                          box_bf16, warp_bf16, border_v2, dsk),
+                          box_bf16, warp_bf16, border_v2,
+                          box_stacked, dsk),
         grid=(h_pad // th,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((2, th, w), lambda i: (0, i, 0),

@@ -519,6 +519,11 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                                  "KH_FI_WARPBF16", "0") == "1",
                              border_v2=_os.environ.get(
                                  "KH_FI_BORDER2", "0") == "1",
+                             # KH_FI_BOXSTACK=1: all 5 M planes share
+                             # each box pass (lane-concat; 16 passes
+                             # instead of 80, exact)
+                             box_stacked=_os.environ.get(
+                                 "KH_FI_BOXSTACK", "0") == "1",
                              img_hw=(lh, lw),
                              interpret=interpret)
             continue

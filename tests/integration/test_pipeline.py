@@ -93,6 +93,20 @@ def test_api_flow_matches_oracle(trans_pair):
     assert epe.mean() < 0.05
 
 
+def test_api_flow_accepts_color_frames(trans_pair):
+    """api.flow on (H, W, 3) uint8 frames grayscales internally — the CLI
+    `flow` command feeds decoded color frames straight through (regression:
+    used to crash in the pyramid on the trailing channel dim)."""
+    a, b, shift = trans_pair
+    a8 = np.round(a).astype(np.uint8)
+    b8 = np.round(b).astype(np.uint8)
+    a3 = np.stack([a8, a8, a8], axis=-1)
+    b3 = np.stack([b8, b8, b8], axis=-1)
+    got = api.flow(a3, b3, FlowConfig())
+    ref = api.flow(a8, b8, FlowConfig())
+    assert np.allclose(got, ref, atol=1e-5)
+
+
 def test_implicit_flow_ekf_runs(clip96):
     frames, truth = clip96
     cfg = RunConfig(flow=FlowConfig(levels=3),

@@ -137,6 +137,23 @@ def test_flow_iter_kernel_shift_skip_exact(rng):
         assert float(jnp.abs(got - ref).max()) < 1e-6
 
 
+def test_flow_iter_kernel_box_stacked_exact(rng):
+    """box_stacked (all 5 M planes lane-concatenated so every winsize box
+    pass is shared — 16 shifted adds instead of 80) must be bit-exact:
+    the horizontal reads never cross a plane boundary because within
+    plane span [p*mcols, (p+1)*mcols) the max read offset is
+    w - 1 + 2*bw <= mcols - 1."""
+    from kalman_hydra_tpu.kernels.flow_iter_pallas import flow_iter
+    for h, w, win in [(70, 90, 15), (64, 128, 13), (50, 200, 15)]:
+        R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+        R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+        fl = jnp.asarray(rng.uniform(-5, 5, (2, h, w)).astype(np.float32))
+        ref = flow_iter(R0, R1, fl, win, 8, False, interpret=True)
+        got = flow_iter(R0, R1, fl, win, 8, False, interpret=True,
+                        box_stacked=True, shift_skip=True)
+        assert float(jnp.abs(got - ref).max()) == 0.0
+
+
 def test_flow_iter_kernel_border_v2_exact(rng):
     """border_v2 (column taper as row-vector + dr^2 post-product scale in
     the rare border branch) must match the v1 formulation to float noise
