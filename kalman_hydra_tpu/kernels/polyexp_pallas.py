@@ -28,7 +28,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _polyexp_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
-                    th: int, w_out: int, vert_mxu: bool,
+                    th: int, w_out: int, vert_mxu: bool, stacked: bool,
                     in_hbm, out_ref, scratch, sem):
     """Double-buffered slab pipeline (same pattern as flow_iter): scratch
     has a 2-slot leading axis; step i computes from slot i%2 while the
@@ -57,6 +57,51 @@ def _polyexp_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
     s = scratch[slot]                               # (th+2n, w_out+2n)
 
     taps = 2 * n + 1
+    if stacked and not vert_mxu:
+        # lane-stacked variant (same rationale as flow_iter box_stacked:
+        # the kernel is Mosaic-SCHEDULING bound, so fewer, wider VPU
+        # passes win even at identical FLOPs; every lane keeps the planar
+        # loops' multiply/add order — residual diffs are FMA-fusion
+        # rounding only, ~1e-6 relative).
+        # Vertical: the 3 channels (g / xg / xxg taps) run on a 3x
+        # lane-concatenated copy of the slab with a per-region weight
+        # row — 1 wide FMA per tap instead of 3.
+        wp = s.shape[1]
+        s3 = jnp.concatenate([s, s, s], axis=1)       # (rows_in, 3*wp)
+        reg = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * wp), 1) // wp
+        v = None
+        for k in range(taps):
+            wrow = jnp.where(reg == 0, jnp.float32(g[k]),
+                             jnp.where(reg == 1, jnp.float32(xg[k]),
+                                       jnp.float32(xxg[k])))
+            t = wrow * s3[k:k + th, :]
+            v = t if v is None else v + t             # [v0 | v1 | v2]
+        # Horizontal: group the 6 moments by tap weight. One g-weighted
+        # pass over the span covering all three blocks accumulates
+        # [m00 | m01 | m02] (the inter-block lanes are junk, sliced away
+        # at the end), one xg pass over two blocks gives [m10 | m11],
+        # one xxg pass gives m20 — 3 passes per tap instead of 6.
+        acc_g = acc_xg = acc_xxg = None
+        for k in range(taps):
+            tg = g[k] * v[:, k:k + 2 * wp + w_out]
+            txg = xg[k] * v[:, k:k + wp + w_out]
+            txxg = xxg[k] * v[:, k:k + w_out]
+            acc_g = tg if acc_g is None else acc_g + tg
+            acc_xg = txg if acc_xg is None else acc_xg + txg
+            acc_xxg = txxg if acc_xxg is None else acc_xxg + txxg
+        m00 = acc_g[:, 0:w_out]
+        m01 = acc_g[:, wp:wp + w_out]
+        m02 = acc_g[:, 2 * wp:2 * wp + w_out]
+        m10 = acc_xg[:, 0:w_out]
+        m11 = acc_xg[:, wp:wp + w_out]
+        m20 = acc_xxg
+        dt = out_ref.dtype
+        out_ref[0, :, :] = (m10 * ig11).astype(dt)
+        out_ref[1, :, :] = (m01 * ig11).astype(dt)
+        out_ref[2, :, :] = (m00 * ig03 + m20 * ig33).astype(dt)
+        out_ref[3, :, :] = (m00 * ig03 + m02 * ig33).astype(dt)
+        out_ref[4, :, :] = (m11 * ig55).astype(dt)
+        return
     if vert_mxu:
         # all three vertical correlations as ONE banded-matrix MXU
         # contraction: rows [c*th, (c+1)*th) of B hold channel c's taps
@@ -150,6 +195,8 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
     # KH_PE_VMXU=1: vertical taps as a banded MXU contraction (A/B knob,
     # trace-time; ~1e-6-relative vs the tap loop — see kernel docstring)
     vert_mxu = _os.environ.get("KH_PE_VMXU", "0") == "1"
+    # KH_PE_STACK=1: lane-stacked tap passes (bit-exact; trace-time knob)
+    stacked = _os.environ.get("KH_PE_STACK", "0") == "1"
     h_pad = ((h + th - 1) // th) * th
     rows_in = _round_up(th + 2 * n, 8)
     wp = _round_up(w + 2 * n, 128)
@@ -160,7 +207,7 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
     out = pl.pallas_call(
         functools.partial(_polyexp_kernel, n, gt, xg, xxg,
                           float(ig11), float(ig03), float(ig33), float(ig55),
-                          th, w, vert_mxu),
+                          th, w, vert_mxu, stacked),
         grid=(h_pad // th,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((5, th, w), lambda i: (0, i, 0),

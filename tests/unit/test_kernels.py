@@ -51,6 +51,22 @@ def test_polyexp_kernel_vert_mxu_matches_xla(rng, monkeypatch):
     assert np.abs(ref - np.moveaxis(got, 0, -1)).max() < 1e-3
 
 
+def test_polyexp_kernel_stacked_matches_planar(rng, monkeypatch):
+    """KH_PE_STACK=1 lane-stacks the tap passes (3x-wide vertical FMA +
+    weight-grouped horizontal accumulators). Per-lane multiply/add order
+    is unchanged — residual diffs are compiler FMA-fusion rounding only
+    (~1e-6 relative measured), far below the vert_mxu reorder."""
+    img = rng.uniform(0, 255, (100, 130)).astype(np.float32)
+    base = np.asarray(poly_expansion_planar(jnp.asarray(img), 5, 1.1,
+                                            interpret=True))
+    monkeypatch.setenv("KH_PE_STACK", "1")
+    poly_expansion_planar.clear_cache()
+    got = np.asarray(poly_expansion_planar(jnp.asarray(img), 5, 1.1,
+                                           interpret=True))
+    poly_expansion_planar.clear_cache()
+    assert np.abs(base - got).max() < 1e-4
+
+
 @pytest.mark.parametrize("gaussian", [False, True])
 def test_flow_update_kernel_matches_xla(gaussian, rng):
     h, w = 96, 128
