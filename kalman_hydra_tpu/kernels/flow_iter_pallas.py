@@ -55,7 +55,7 @@ def _damp_vec(abs_idx, limit):
 def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                       rows: int, weights, has_row0, shift_skip,
                       vbox_mxu, box_bf16, warp_bf16, border_v2,
-                      box_stacked, diag_skip, *refs):
+                      box_stacked, join_rs, diag_skip, *refs):
     """Double-buffered slab pipeline: scratch slabs have a leading 2-slot
     axis; step i computes from slot i%2 while the DMAs for tile i+1 land
     in slot (i+1)%2 (started before this step's wait, so the copies
@@ -76,24 +76,37 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
     accumulator traffic."""
     if shift_skip:
         *refs, vacc, racc = refs
+    refs = list(refs)
+    if join_rs:
+        # joined mode: R0/R1 ride ONE (10, H, W) HBM array -> 2 DMAs per
+        # grid step instead of 3 (per-copy issue/semaphore overhead is a
+        # measurable slice of the launch+DMA floor, BASELINE.md round-3)
+        rj_hbm, fl_hbm = refs[:2]
+        refs = refs[2:]
+    else:
+        r0_hbm, r1_hbm, fl_hbm = refs[:3]
+        refs = refs[3:]
     if has_row0:
-        (r0_hbm, r1_hbm, fl_hbm, row0_ref, out_ref,
-         r0_s, r1_s, fl_s, sem) = refs
+        row0_ref = refs.pop(0)
         row0 = row0_ref[0]
     else:
-        r0_hbm, r1_hbm, fl_hbm, out_ref, r0_s, r1_s, fl_s, sem = refs
         row0 = 0
+    if join_rs:
+        out_ref, rj_s, fl_s, sem = refs
+    else:
+        out_ref, r0_s, r1_s, fl_s, sem = refs
     i = pl.program_id(0)
     nsteps = pl.num_programs(0)
     hb = bw + D                       # warp+box halo
     mrows = th + 2 * bw               # rows where M is needed
 
     def copies(step, slot):
+        pairs = (((rj_hbm, rj_s), (fl_hbm, fl_s)) if join_rs else
+                 ((r0_hbm, r0_s), (r1_hbm, r1_s), (fl_hbm, fl_s)))
         return [
             pltpu.make_async_copy(src.at[:, pl.ds(step * th, rows), :],
                                   dst.at[slot], sem.at[slot, j])
-            for j, (src, dst) in enumerate(((r0_hbm, r0_s), (r1_hbm, r1_s),
-                                            (fl_hbm, fl_s)))]
+            for j, (src, dst) in enumerate(pairs)]
 
     @pl.when(i == 0)
     def _start_first():
@@ -109,23 +122,30 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
     for c in copies(i, slot):
         c.wait()
 
-    wp = r0_s.shape[3]
+    if join_rs:
+        r0_sl = rj_s[slot, 0:5]
+        r1_sl = rj_s[slot, 5:10]
+        wp = rj_s.shape[3]
+    else:
+        r0_sl = r0_s[slot]
+        r1_sl = r1_s[slot]
+        wp = r0_s.shape[3]
     base = hb - bw
     mcols = w + 2 * bw
     if "dma" in diag_skip:
         # diagnostic floor: DMA + launch only, no compute. Output still
         # depends on all three slabs so nothing is DCE'd.
         out_ref[0, :, :] = (fl_s[slot, 0, D:D + th, base:base + w]
-                            + r0_s[slot, 0, D:D + th,
-                                   base:base + w].astype(jnp.float32)
-                            + r1_s[slot, 0, D:D + th,
-                                   base:base + w].astype(jnp.float32))
+                            + r0_sl[0, D:D + th,
+                                    base:base + w].astype(jnp.float32)
+                            + r1_sl[0, D:D + th,
+                                    base:base + w].astype(jnp.float32))
         out_ref[1, :, :] = fl_s[slot, 1, D:D + th, base:base + w]
         return
     # warp_bf16: keep R1 in its (bf16) slab dtype and accumulate the
     # select-sum warp in bf16 packed vregs; shift weights are built in
     # f32 (exact lerp math) and cast once per executed term
-    R1 = r1_s[slot] if warp_bf16 else r1_s[slot].astype(jnp.float32)
+    R1 = r1_sl if warp_bf16 else r1_sl.astype(jnp.float32)
     wdt = R1.dtype
     # flow at the M region (slab rows [D, D+mrows))
     flm = fl_s[slot, :, D:D + mrows, :].astype(jnp.float32)
@@ -210,7 +230,7 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
 
     # ---- averaged-matrix normal equations (update_matrices_p) ----
     R1w = R1w.astype(jnp.float32)
-    R0 = r0_s[slot, :, D:D + mrows, hb - bw:hb - bw + w + 2 * bw].astype(
+    R0 = r0_sl[:, D:D + mrows, hb - bw:hb - bw + w + 2 * bw].astype(
         jnp.float32)
     if "m" in diag_skip:
         # diagnostic knockout: plane sums stand in for the normal
@@ -597,6 +617,10 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
         return jnp.pad(x, ((0, 0), (0, h_pad - h + extra),
                            (0, wp - (w + 2 * hb))))
 
+    # join_rs: R1p=None and R0p carries BOTH plane stacks as one
+    # (10, H, W) array (prep_planes on the jnp.concatenate of the two) —
+    # each grid step then issues 2 DMAs instead of 3
+    join_rs = R1p is None
     if img_hw is not None:
         r0, r1 = R0p, R1p
         if r0.shape[1:] != (h_pad - h + extra + h + 2 * hb, wp):
@@ -605,7 +629,7 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
                 f"fi_geometry for img_hw={img_hw}, tile_h={tile_h}")
     else:
         r0 = prep(R0p)
-        r1 = prep(R1p)
+        r1 = None if join_rs else prep(R1p)
     fl = prep(flow_p)
 
     has_row0 = row0 is not None
@@ -613,8 +637,8 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
         raise ValueError("band mode (row0 given) requires img_h = the "
                          "GLOBAL image height")
     hg = img_h if has_row0 else h
-    inputs = (r0, r1, fl)
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    inputs = (r0, fl) if join_rs else (r0, r1, fl)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(inputs)
     if has_row0:
         # row0 = GLOBAL image row of the caller's input row 0: the kernel
         # computes local row ids exactly as in single-device mode and
@@ -623,12 +647,19 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
         in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
 
     mrows = th + 2 * bw
-    scratch = [
-        pltpu.VMEM((2, 5, rows, wp), R0p.dtype),
-        pltpu.VMEM((2, 5, rows, wp), R1p.dtype),
-        pltpu.VMEM((2, 2, rows, wp), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, 3)),
-    ]
+    if join_rs:
+        scratch = [
+            pltpu.VMEM((2, 10, rows, wp), R0p.dtype),
+            pltpu.VMEM((2, 2, rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((2, 5, rows, wp), R0p.dtype),
+            pltpu.VMEM((2, 5, rows, wp), R1p.dtype),
+            pltpu.VMEM((2, 2, rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ]
     if shift_skip:
         acc_dt = R1p.dtype if warp_bf16 else jnp.float32
         scratch += [pltpu.VMEM((5, mrows, wp), acc_dt),
@@ -643,7 +674,7 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
         functools.partial(_flow_iter_kernel, th, w, hg, bw, D, rows,
                           weights, has_row0, shift_skip, vbox_mxu,
                           box_bf16, warp_bf16, border_v2,
-                          box_stacked, dsk),
+                          box_stacked, join_rs, dsk),
         grid=(h_pad // th,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((2, th, w), lambda i: (0, i, 0),

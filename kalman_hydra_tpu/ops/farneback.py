@@ -505,6 +505,12 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                    else cfg.fi_shift_skip)
             R0pp = _prep(R0p, cfg.winsize, cfg.fast_warp, tile_h=_th)
             R1pp = _prep(R1p, cfg.winsize, cfg.fast_warp, tile_h=_th)
+            # KH_FI_JOINRS=1: both plane stacks ride ONE (10, H, W) HBM
+            # array (concat once per level) -> 2 DMAs per grid step
+            # instead of 3
+            if _os.environ.get("KH_FI_JOINRS", "0") == "1":
+                R0pp = jnp.concatenate([R0pp, R1pp], axis=0)
+                R1pp = None
             for _ in range(cfg.iterations):
                 flow_p = _fi(R0pp, R1pp, flow_p,
                              cfg.winsize, cfg.fast_warp,

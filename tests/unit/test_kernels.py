@@ -168,6 +168,27 @@ def test_flow_iter_kernel_box_stacked_exact(rng):
         got = flow_iter(R0, R1, fl, win, 8, False, interpret=True,
                         box_stacked=True, shift_skip=True)
         assert float(jnp.abs(got - ref).max()) == 0.0
+    # border_v2 shares _box_solve: the stacked box must compose with it
+    ref2 = flow_iter(R0, R1, fl, 15, 8, False, interpret=True,
+                     border_v2=True)
+    got2 = flow_iter(R0, R1, fl, 15, 8, False, interpret=True,
+                     border_v2=True, box_stacked=True)
+    assert float(jnp.abs(got2 - ref2).max()) == 0.0
+
+
+def test_flow_iter_kernel_join_rs_exact(rng):
+    """join_rs (R0/R1 stacked into one (10, H, W) HBM array, 2 DMAs per
+    grid step instead of 3) must be bit-exact vs the split-slab path."""
+    from kalman_hydra_tpu.kernels.flow_iter_pallas import flow_iter
+    h, w, win = 70, 90, 15
+    R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
+    fl = jnp.asarray(rng.uniform(-5, 5, (2, h, w)).astype(np.float32))
+    ref = flow_iter(R0, R1, fl, win, 8, False, interpret=True,
+                    shift_skip=True)
+    got = flow_iter(jnp.concatenate([R0, R1], axis=0), None, fl, win, 8,
+                    False, interpret=True, shift_skip=True)
+    assert float(jnp.abs(got - ref).max()) == 0.0
 
 
 def test_flow_iter_kernel_border_v2_exact(rng):
