@@ -189,6 +189,13 @@ def test_flow_iter_kernel_join_rs_exact(rng):
     got = flow_iter(jnp.concatenate([R0, R1], axis=0), None, fl, win, 8,
                     False, interpret=True, shift_skip=True)
     assert float(jnp.abs(got - ref).max()) == 0.0
+    # the pipeline's prepadded img_hw route must join identically
+    from kalman_hydra_tpu.kernels.flow_iter_pallas import prep_planes
+    RJ = jnp.concatenate([prep_planes(R0, win, 8),
+                          prep_planes(R1, win, 8)], axis=0)
+    got = flow_iter(RJ, None, fl, win, 8, False, interpret=True,
+                    shift_skip=True, img_hw=(h, w))
+    assert float(jnp.abs(got - ref).max()) == 0.0
 
 
 def test_flow_iter_kernel_border_v2_exact(rng):
