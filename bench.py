@@ -393,7 +393,31 @@ def _retry(fn, attempts=3, backoff=120):
     raise last
 
 
+def _arm_watchdog():
+    """Hard wall-clock bound: a wedged TPU relay hangs INSIDE backend
+    init / blocking fetches (no exception, so _retry never fires). The
+    driver must still get its one JSON line, so time out the whole
+    process and emit an explicit error record instead of hanging.
+    KH_BENCH_WATCHDOG_S overrides (0 disables)."""
+    import signal
+
+    budget = int(os.environ.get("KH_BENCH_WATCHDOG_S", "2700"))
+    if budget <= 0:
+        return
+
+    def _fire(_sig, _frm):
+        print(json.dumps({"metric": "bench_error", "value": 0.0,
+                          "unit": "frames/s/chip", "vs_baseline": None,
+                          "error": f"watchdog: no result within {budget}s "
+                                   "(TPU relay hang?)"}), flush=True)
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(budget)
+
+
 def main():
+    _arm_watchdog()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=0,
                     help="BASELINE config 1-5; 0 = headline 1080p")
