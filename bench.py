@@ -194,36 +194,54 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
             return acc + jnp.sum(outs["pos"][-1]) * 1e-6
         return lax.fori_loop(0, R, body, jnp.float32(0.0))
 
+    if repeats is None:
+        # 1080p clips repeat within ~2%; sub-720p ones see 10-20% relay
+        # jitter — median-of-5 makes those citable (BASELINE.md)
+        repeats = 5 if h < 700 else 3
+    med, extra = _measure_marginal(repeat_run, frames_d, repeats)
+    fps = batch * (t - 1) / med
+    log(f"{h}x{w} T={t} K={num_tracks}: median {med*1e3:.1f} ms/clip "
+        f"steady over {repeats} repeats "
+        f"(spread {extra['fps_spread_pct']:.0f}%) "
+        f"=> {fps:.2f} frames/s/chip")
+    return fps, extra
+
+
+def _measure_marginal(repeat_run, frames_d, repeats, r_pair=(1, 3)):
+    """THE median-of-N marginal-timing protocol (single owner — every
+    config measures through here so protocol changes can't diverge).
+
+    Compiles the (R1, R3) in-jit repeat pair, warms both, then reports
+    the median over `repeats` of the differenced enqueue->fetch time
+    (cancels relay latency + fetch overhead; BASELINE.md round-2/3
+    variance notes). Returns (median_seconds_per_repeat, extra_fields)."""
+    r1, r3 = r_pair
     comps = {}
-    for R in (1, 3):
+    for R in (r1, r3):
         t0 = time.time()
         comps[R] = jax.jit(repeat_run, static_argnums=1).lower(
             frames_d, R).compile()
         log(f"compile R={R}: {time.time()-t0:.1f}s")
         np.asarray(comps[R](frames_d))                  # warm
-    if repeats is None:
-        # 1080p clips repeat within ~2%; sub-720p ones see 10-20% relay
-        # jitter — median-of-5 makes those citable (BASELINE.md)
-        repeats = 5 if h < 700 else 3
     marginals = []
+    extra = {}
     for rep in range(repeats):
-        t1 = min(_fetch_time(comps[1], frames_d) for _ in range(2))
-        t3 = min(_fetch_time(comps[3], frames_d) for _ in range(2))
-        m = (t3 - t1) / 2.0
+        t1 = min(_fetch_time(comps[r1], frames_d) for _ in range(2))
+        t3 = min(_fetch_time(comps[r3], frames_d) for _ in range(2))
+        m = (t3 - t1) / (r3 - r1)
         if m <= 0:
-            m = t3 / 3.0
+            # repeat-differencing collapsed (relay noise): fall back to
+            # the honest mean-per-run time and flag it, never inflate
+            m = t3 / r3
+            extra["timing_degraded"] = True
         marginals.append(m)
-        log(f"repeat {rep}: R1={t1*1e3:.1f} ms R3={t3*1e3:.1f} ms "
+        log(f"repeat {rep}: R{r1}={t1*1e3:.1f} ms R{r3}={t3*1e3:.1f} ms "
             f"marginal={m*1e3:.1f} ms")
     med = float(np.median(marginals))
     spread = (max(marginals) - min(marginals)) / med if med > 0 else 0.0
-    fps = batch * (t - 1) / med
-    extra = {"fps_median_of": repeats,
-             "fps_spread_pct": round(spread * 100.0, 1)}
-    log(f"{h}x{w} T={t} K={num_tracks}: median {med*1e3:.1f} ms/clip "
-        f"steady over {repeats} repeats (spread {spread*100:.0f}%) "
-        f"=> {fps:.2f} frames/s/chip")
-    return fps, extra
+    extra.update({"fps_median_of": repeats,
+                  "fps_spread_pct": round(spread * 100.0, 1)})
+    return med, extra
 
 
 def _fetch_time(comp, *args):
@@ -536,32 +554,12 @@ def bench_config(n):
                 return acc + jnp.sum(outs["smoothed"][-1]) * 1e-6
             return lax.fori_loop(0, R, body, jnp.float32(0.0))
 
-        comps = {}
-        for R in (1, 3):
-            comps[R] = jax.jit(repeat_run, static_argnums=1).lower(
-                frames_d, R).compile()
-            np.asarray(comps[R](frames_d))
-        # median-of-5 (same protocol as bench_fused_pipeline): this 480p
-        # clip sees the same ~2 ms relay jitter as config 2
-        extra = {}
-        marginals = []
-        for _rep in range(5):
-            t1 = min(_fetch_time(comps[1], frames_d) for _ in range(2))
-            t3 = min(_fetch_time(comps[3], frames_d) for _ in range(2))
-            m = (t3 - t1) / 2.0
-            if m <= 0:
-                # repeat-differencing collapsed (relay noise): fall back to
-                # the honest mean-per-run time and flag it, never inflate
-                m = t3 / 3.0
-                extra["timing_degraded"] = True
-            marginals.append(m)
-        med = float(np.median(marginals))
-        spread = (max(marginals) - min(marginals)) / med if med > 0 else 0.0
-        extra.update({"fps_median_of": 5,
-                      "fps_spread_pct": round(spread * 100.0, 1)})
+        # median-of-5: this 480p clip sees the same ~2 ms relay jitter
+        # as config 2 (shared protocol owner: _measure_marginal)
+        med, extra = _measure_marginal(repeat_run, frames_d, repeats=5)
         fps = (t_frames - 1) / med
         log(f"cfg5 long-horizon+RTS+reinit: median {med*1e3:.1f} ms/clip "
-            f"(spread {spread*100:.0f}%) => {fps:.2f} fps")
+            f"(spread {extra['fps_spread_pct']:.0f}%) => {fps:.2f} fps")
         return fps, None, "fps_per_chip_cfg5_rts", None, extra
     raise SystemExit(f"unknown config {n}")
 

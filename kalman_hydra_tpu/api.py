@@ -20,12 +20,21 @@ def flow(a: np.ndarray, b: np.ndarray,
     """Dense optical flow between two grayscale frames, (H, W, 2) float32.
 
     Oracle-equivalent of cv2.calcOpticalFlowFarneback / dense pyramidal LK
-    depending on cfg.method (SURVEY.md §3.2).
+    depending on cfg.method (SURVEY.md §3.2). Accepts uint8 or float
+    frames, gray or color; [0, 1]-normalized float frames are rescaled to
+    the 0..255 intensity range the solver constants assume (cv2 itself
+    rejects float input outright).
     """
     cfg = cfg or FlowConfig()
     from .ops.color import grayscale_u8
-    a_j = grayscale_u8(jnp.asarray(np.asarray(a)))
-    b_j = grayscale_u8(jnp.asarray(np.asarray(b)))
+    a_np, b_np = np.asarray(a), np.asarray(b)
+    if (a_np.dtype.kind == "f" and b_np.dtype.kind == "f"
+            and max(float(a_np.max()), float(b_np.max())) <= 1.0):
+        # normalized floats would otherwise hit the det + 1e-3 solve
+        # regularizer ~1e8x too hard and return silently-zero flow
+        a_np, b_np = a_np * 255.0, b_np * 255.0
+    a_j = grayscale_u8(jnp.asarray(a_np))
+    b_j = grayscale_u8(jnp.asarray(b_np))
     if cfg.method == "farneback":
         from .ops.farneback import farneback as _fb
         out = jax.jit(_fb, static_argnames="cfg")(a_j, b_j, cfg)

@@ -135,23 +135,44 @@ def device_prefetch(frames, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
     end = object()
+    stop = threading.Event()
 
     def worker():
         try:
             for f in frames:
-                q.put(jax.device_put(np.ascontiguousarray(f)))
+                buf = jax.device_put(np.ascontiguousarray(f))
+                # bounded put so an abandoned consumer (step_fn raised,
+                # caller broke out of the loop) can't pin this thread —
+                # and depth+1 device frames — for the process lifetime
+                while not stop.is_set():
+                    try:
+                        q.put(buf, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(end)
         except BaseException as e:  # noqa: BLE001 — relayed to consumer
             q.put(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is end:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is end:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # fires on consumer abandonment (GeneratorExit) as well as on
+        # normal exhaustion; drain one slot so a blocked put wakes up
+        stop.set()
+        try:
+            q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def write_video(path: str, frames: np.ndarray, fps: float = 30.0) -> None:

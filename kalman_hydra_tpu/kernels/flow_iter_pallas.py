@@ -636,6 +636,12 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
     if has_row0 and img_h <= 0:
         raise ValueError("band mode (row0 given) requires img_h = the "
                          "GLOBAL image height")
+    if has_row0 and th < bw + D + 1:
+        # grid step 0's M region must reach global image row 0 (the
+        # top/bottom row_fix select-sums replicate garbage otherwise)
+        raise ValueError(
+            f"band mode requires tile_h >= winsize//2 + max_disp + 1 "
+            f"(= {bw + D + 1}); got tile_h={th}")
     hg = img_h if has_row0 else h
     inputs = (r0, fl) if join_rs else (r0, r1, fl)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(inputs)
@@ -661,7 +667,8 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2, 3)),
         ]
     if shift_skip:
-        acc_dt = R1p.dtype if warp_bf16 else jnp.float32
+        # in join mode R1 rides inside R0p; both share its dtype
+        acc_dt = R0p.dtype if warp_bf16 else jnp.float32
         scratch += [pltpu.VMEM((5, mrows, wp), acc_dt),
                     pltpu.VMEM((5, mrows, w + 2 * bw), acc_dt)]
 

@@ -19,6 +19,11 @@ def grayscale_u8(frame: jnp.ndarray) -> jnp.ndarray:
     """(..., H, W, 3) uint8 BGR -> (..., H, W) float32 holding exact uint8
     gray values (bit-identical to cv2.cvtColor on uint8)."""
     if frame.ndim >= 3 and frame.shape[-1] == 3:
+        if not jnp.issubdtype(frame.dtype, jnp.integer):
+            # float color frames take cv2's FLOAT cvtColor path: the
+            # fixed-point int32 cast would truncate (a [0,1]-normalized
+            # clip silently became all-black -> zero flow)
+            return grayscale(frame)
         f = frame.astype(jnp.int32)
         y = (f[..., 0] * _B + f[..., 1] * _G + f[..., 2] * _R
              + (1 << 14)) >> 15

@@ -142,8 +142,9 @@ def _gather_blocks_klast(imgs: jnp.ndarray, by: jnp.ndarray, bx: jnp.ndarray,
 
 def _gather_blocks_klast_blocked(imgs: jnp.ndarray, by: jnp.ndarray,
                                  bx: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Blocked twin of _gather_blocks_klast (same output, same bases —
-    callers pre-clamp them in-range).
+    """Blocked twin of _gather_blocks_klast (same output for ANY bases,
+    including out-of-range ones — the per-element column clamp below
+    reproduces the plain twin's edge replication exactly).
 
     The plain version materializes the full-width row gather
     (C, K, size, W) AND a (K, size, W) one-hot — ~300 MB each at
@@ -159,13 +160,16 @@ def _gather_blocks_klast_blocked(imgs: jnp.ndarray, by: jnp.ndarray,
     imgs_p = jnp.pad(imgs, ((0, 0), (0, 0), (0, nb * BL - W)))
     flat = imgs_p.reshape(C, H * nb, BL)
     bb = jnp.clip(bx, 0, W - 1) // BL                      # (K,)
-    rr = jnp.clip(bx, 0, W - 1) - bb * BL                  # in [0, 128)
     iy = jnp.clip(by[:, None] + jnp.arange(size)[None, :], 0, H - 1)
     rid = (iy[:, :, None] * nb + bb[:, None, None]
            + jnp.arange(2)[None, None, :])                 # (K, size, 2)
     win = flat[:, rid]                                     # (C,K,size,2,BL)
     win = win.reshape(C, win.shape[1], size, 2 * BL)
-    ix = rr[:, None] + jnp.arange(size)[None, :]           # (K, size)
+    # per-element column clamp (edge replication) expressed block-local:
+    # every clipped target lies inside the two fetched blocks for
+    # size <= 128, so this matches the plain twin for ANY bx
+    ix = (jnp.clip(bx[:, None] + jnp.arange(size)[None, :], 0, W - 1)
+          - (bb * BL)[:, None])                            # (K, size)
     sel = (ix[:, :, None] == jnp.arange(2 * BL)[None, None, :]).astype(
         imgs.dtype)
     return jnp.einsum("cksu,ktu->cstk", win, sel,
@@ -245,26 +249,32 @@ def _track_point_level_block(blk_b, patch_a, pgx, pgy, base, guess,
     return guess, ok, min_eig
 
 
-def _lk_level_batched_klast(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
-    """One pyramid level for ALL points, K-LAST layout: the K point axis
-    rides the TPU lane dimension through every patch op, so the VPU
-    registers are ~fully packed (the vmapped K-leading variant wastes
-    ~70% of each (8, 128) register on the patch width; measured ~2x
-    slower per level at K=1024, win=21)."""
+def _bshift_klast(blk, fx, fy, w):
+    """(..., n+1, n+1, K) -> (..., n, n, K) subpixel bilinear shift via
+    the 4 static corner slices (no gathers; K stays on lanes)."""
+    return (blk[..., :w, :w, :] * (1 - fx) * (1 - fy)
+            + blk[..., :w, 1:w + 1, :] * fx * (1 - fy)
+            + blk[..., 1:w + 1, :w, :] * (1 - fx) * fy
+            + blk[..., 1:w + 1, 1:w + 1, :] * fx * fy)
+
+
+def _lk_level_prologue(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
+    """Shared per-level setup for BOTH batched K-last solvers (plain
+    Gauss-Newton and correlation-table): template/gradient patches at the
+    fixed point location, Gram terms + gating, and the frame-B halo'd
+    search blocks around the initial guess.
+
+    blocked gather (FlowConfig.lk_blocked_gather, default True):
+    bit-exact and the single biggest sparse win on silicon (74.4 ->
+    133.8 fps at 1080p/1k tracks — the plain full-width gather's
+    ~300 MB intermediates dominated the solve). KH_LK_BGATHER
+    overrides at TRACE time (same caveat as KH_FI_TH)."""
     w = cfg.lk_winsize
     half = (w - 1) * 0.5
     D = cfg.lk_block_halo
     Bb = w + 1 + 2 * D
-    D2 = 2 * D
-
     Hp, Wp = pb.shape
 
-    # template/gradient patches at the (fixed) point location
-    # blocked gather (FlowConfig.lk_blocked_gather, default True):
-    # bit-exact and the single biggest sparse win on silicon (74.4 ->
-    # 133.8 fps at 1080p/1k tracks — the plain full-width gather's
-    # ~300 MB intermediates dominated the solve). KH_LK_BGATHER
-    # overrides at TRACE time (same caveat as KH_FI_TH).
     import os as _os
     _bg_env = _os.environ.get("KH_LK_BGATHER")
     _use_bg = (_bg_env == "1" if _bg_env is not None
@@ -278,13 +288,7 @@ def _lk_level_batched_klast(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
     fax = (pt_l[:, 0] - half - abase_x)[None, None, :]
     fay = (pt_l[:, 1] - half - abase_y)[None, None, :]
 
-    def bshift(blk, fx, fy):              # (..., n+1, n+1, K) -> (..., n, n, K)
-        return (blk[..., :w, :w, :] * (1 - fx) * (1 - fy)
-                + blk[..., :w, 1:w + 1, :] * fx * (1 - fy)
-                + blk[..., 1:w + 1, :w, :] * (1 - fx) * fy
-                + blk[..., 1:w + 1, 1:w + 1, :] * fx * fy)
-
-    patches = bshift(blks_a, fax, fay)                    # (3, w, w, K)
+    patches = _bshift_klast(blks_a, fax, fay, w)          # (3, w, w, K)
     patch_a, pgx_p, pgy_p = patches[0], patches[1], patches[2]
 
     g11 = jnp.sum(pgx_p * pgx_p, axis=(0, 1))             # (K,)
@@ -303,8 +307,28 @@ def _lk_level_batched_klast(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
     bbase_y = jnp.clip(jnp.floor(guess[:, 1] - half).astype(jnp.int32) - D,
                        0, Hp - Bb)
     blk_b = _gb(pb[None], bbase_y, bbase_x, Bb)[0]
-    base_x = bbase_x.astype(jnp.float32)                  # (K,)
-    base_y = bbase_y.astype(jnp.float32)
+    return (patch_a, pgx_p, pgy_p, g11, g12, g22, min_eig, ok, inv_det,
+            eps2, blk_b, bbase_x.astype(jnp.float32),
+            bbase_y.astype(jnp.float32))
+
+
+def _lk_level_batched_klast(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
+    """One pyramid level for ALL points, K-LAST layout: the K point axis
+    rides the TPU lane dimension through every patch op, so the VPU
+    registers are ~fully packed (the vmapped K-leading variant wastes
+    ~70% of each (8, 128) register on the patch width; measured ~2x
+    slower per level at K=1024, win=21)."""
+    w = cfg.lk_winsize
+    half = (w - 1) * 0.5
+    D = cfg.lk_block_halo
+    D2 = 2 * D
+
+    (patch_a, pgx_p, pgy_p, g11, g12, g22, min_eig, ok, inv_det,
+     eps2, blk_b, base_x, base_y) = _lk_level_prologue(
+        pa, pb, pgx, pgy, pt_l, guess, cfg)
+
+    def bshift(blk, fx, fy):
+        return _bshift_klast(blk, fx, fy, w)
 
     def body(_i, carry):
         gx_, gy_, active = carry
@@ -411,56 +435,12 @@ def _lk_level_batched_corr(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig,
     """
     w = cfg.lk_winsize
     half = (w - 1) * 0.5
-    D = cfg.lk_block_halo
-    Bb = w + 1 + 2 * D
-    D2 = 2 * D
+    D2 = 2 * cfg.lk_block_halo
     n_off = D2 + 2
-    Hp, Wp = pb.shape
 
-    # blocked gather (FlowConfig.lk_blocked_gather, default True):
-    # bit-exact and the single biggest sparse win on silicon (74.4 ->
-    # 133.8 fps at 1080p/1k tracks — the plain full-width gather's
-    # ~300 MB intermediates dominated the solve). KH_LK_BGATHER
-    # overrides at TRACE time (same caveat as KH_FI_TH).
-    import os as _os
-    _bg_env = _os.environ.get("KH_LK_BGATHER")
-    _use_bg = (_bg_env == "1" if _bg_env is not None
-               else cfg.lk_blocked_gather)
-    _gb = (_gather_blocks_klast_blocked if _use_bg
-           else _gather_blocks_klast)
-    abase_x = jnp.floor(pt_l[:, 0] - half).astype(jnp.int32)
-    abase_y = jnp.floor(pt_l[:, 1] - half).astype(jnp.int32)
-    stack_a = jnp.stack([pa, pgx, pgy], axis=0)
-    blks_a = _gb(stack_a, abase_y, abase_x, w + 1)
-    fax = (pt_l[:, 0] - half - abase_x)[None, None, :]
-    fay = (pt_l[:, 1] - half - abase_y)[None, None, :]
-
-    def bshift(blk, fx, fy):
-        return (blk[..., :w, :w, :] * (1 - fx) * (1 - fy)
-                + blk[..., :w, 1:w + 1, :] * fx * (1 - fy)
-                + blk[..., 1:w + 1, :w, :] * (1 - fx) * fy
-                + blk[..., 1:w + 1, 1:w + 1, :] * fx * fy)
-
-    patches = bshift(blks_a, fax, fay)                    # (3, w, w, K)
-    patch_a, pgx_p, pgy_p = patches[0], patches[1], patches[2]
-
-    g11 = jnp.sum(pgx_p * pgx_p, axis=(0, 1))
-    g12 = jnp.sum(pgx_p * pgy_p, axis=(0, 1))
-    g22 = jnp.sum(pgy_p * pgy_p, axis=(0, 1))
-    min_eig = ((g11 + g22) - jnp.sqrt((g11 - g22) ** 2 + 4.0 * g12 ** 2)) \
-        * 0.5 / (w * w)
-    det = g11 * g22 - g12 * g12
-    ok = (min_eig > cfg.lk_min_eig) & (det > 1e-12)
-    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
-    eps2 = jnp.float32(cfg.lk_eps * cfg.lk_eps)
-
-    bbase_x = jnp.clip(jnp.floor(guess[:, 0] - half).astype(jnp.int32) - D,
-                       0, Wp - Bb)
-    bbase_y = jnp.clip(jnp.floor(guess[:, 1] - half).astype(jnp.int32) - D,
-                       0, Hp - Bb)
-    blk_b = _gb(pb[None], bbase_y, bbase_x, Bb)[0]
-    base_x = bbase_x.astype(jnp.float32)
-    base_y = bbase_y.astype(jnp.float32)
+    (patch_a, pgx_p, pgy_p, g11, g12, g22, min_eig, ok, inv_det,
+     eps2, blk_b, base_x, base_y) = _lk_level_prologue(
+        pa, pb, pgx, pgy, pt_l, guess, cfg)
 
     # template-side constants + the two correlation tables (once per level)
     ca = jnp.sum(patch_a * pgx_p, axis=(0, 1))

@@ -391,11 +391,13 @@ def farneback_sharded(prev: np.ndarray, nxt: np.ndarray, cfg: FlowConfig,
             flow_s = jnp.moveaxis(ext, 1, 0)
         return jnp.moveaxis(flow_s[:, RPAD:RPAD + hb, :], 0, -1)
 
-    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
-    # annotation, which the default shard_map check rejects — the data
-    # flow here is explicitly device-varying by construction (axis_index)
+    # check_vma=False ONLY for the pallas path: pallas_call outputs carry
+    # no varying-mesh-axes annotation, which the default shard_map check
+    # rejects — the data flow is explicitly device-varying by
+    # construction (axis_index). The XLA path keeps the safety check.
     fn = jax.shard_map(block_fn, mesh=mesh, in_specs=(P(), P()),
-                       out_specs=P(axis), check_vma=False)
+                       out_specs=P(axis),
+                       check_vma=(impl != "pallas"))
     a = jnp.asarray(prev, jnp.float32)
     b = jnp.asarray(nxt, jnp.float32)
     return np.asarray(jax.jit(fn)(a, b))

@@ -107,6 +107,20 @@ def test_api_flow_accepts_color_frames(trans_pair):
     assert np.allclose(got, ref, atol=1e-5)
 
 
+def test_api_flow_normalized_float_color_frames(trans_pair):
+    """[0, 1]-normalized float color frames must yield real flow
+    (regression: the int32 fixed-point gray path truncated them to
+    all-black and the det regularizer then returned silently-zero
+    flow)."""
+    a, b, shift = trans_pair
+    a3 = (np.stack([a, a, a], axis=-1) / 255.0).astype(np.float32)
+    b3 = (np.stack([b, b, b], axis=-1) / 255.0).astype(np.float32)
+    got = api.flow(a3, b3, FlowConfig())
+    true_fl = np.asarray(shift)
+    err = np.abs(got[8:-8, 8:-8] - true_fl[8:-8, 8:-8]).mean()
+    assert err < 0.3, err
+
+
 def test_implicit_flow_ekf_runs(clip96):
     frames, truth = clip96
     cfg = RunConfig(flow=FlowConfig(levels=3),

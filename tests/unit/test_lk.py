@@ -183,3 +183,21 @@ def test_lk_sparse_block_halo_tiny_levels_fall_back(rng):
     m = np.asarray(rs) & np.asarray(gs)
     assert m.any()
     assert np.abs(np.asarray(gp)[m] - np.asarray(rp)[m]).max() < 0.05
+
+
+def test_blocked_gather_matches_plain_for_any_bases(rng):
+    """The blocked two-block gather must reproduce the plain K-last
+    gather's per-element edge-replication clamp for ARBITRARY bases,
+    including far out-of-range ones (regression: it used to clamp only
+    the block base, returning zero-padded patches past the right edge)."""
+    from kalman_hydra_tpu.ops.lk import (_gather_blocks_klast,
+                                         _gather_blocks_klast_blocked)
+    C, H, W, size, K = 3, 60, 300, 13, 40
+    imgs = jnp.asarray(rng.uniform(0, 255, (C, H, W)).astype(np.float32))
+    by = jnp.asarray(rng.integers(-20, H + 20, K))
+    bx = jnp.asarray(np.concatenate(
+        [rng.integers(-20, W + 20, K - 4),
+         [-4, 0, W - size, W + 5]]).astype(np.int32))
+    a = _gather_blocks_klast(imgs, by, bx, size)
+    b = _gather_blocks_klast_blocked(imgs, by, bx, size)
+    assert float(jnp.abs(a - b).max()) == 0.0

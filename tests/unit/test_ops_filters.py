@@ -54,6 +54,17 @@ def test_grayscale_u8_bit_exact(rng):
     assert np.array_equal(ref, got)
 
 
+def test_grayscale_u8_float_color_not_truncated(rng):
+    """Regression: float color frames took the int32 fixed-point path,
+    so a [0, 1]-normalized clip silently became all-black. They must
+    route through cv2's float cvtColor weights instead."""
+    bgr = rng.uniform(0.0, 1.0, (16, 16, 3)).astype(np.float32)
+    ref = cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+    got = np.asarray(C.grayscale_u8(jnp.asarray(bgr)))
+    assert got.max() > 0.05
+    assert np.abs(ref - got).max() < 1e-5
+
+
 def test_min_eig_response_matches_cv2(rng):
     g8 = rng.integers(0, 256, (64, 64)).astype(np.uint8)
     ref = cv2.cornerMinEigenVal(g8, 3, 3)
