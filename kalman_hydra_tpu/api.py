@@ -62,15 +62,13 @@ def track_video(source: Union[str, np.ndarray],
                 PrefetchStream(stream, depth=4), cfg)
         else:
             frames = stream.read_all(limit=max_frames)
-            tracks = _pipeline.track_clip(frames, cfg,
-                                          with_history=cfg.smooth.enabled)
+            tracks = _pipeline.track_clip(frames, cfg)
     else:
         frames = source if max_frames is None else source[:max_frames]
         if streaming:
             tracks = _pipeline.track_stream(iter(frames), cfg)
         else:
-            tracks = _pipeline.track_clip(frames, cfg,
-                                          with_history=cfg.smooth.enabled)
+            tracks = _pipeline.track_clip(frames, cfg)
     if out_path:
         save_tracks(tracks, out_path)
     return tracks

@@ -240,6 +240,13 @@ class RunConfig:
                 "(plain KF update); ekf.measurement="
                 f"{self.ekf.measurement!r} would be silently ignored — "
                 "use measurement='position' or a dense flow method")
+        if self.flow.method == "lk_sparse" and self.tracks.init_velocity:
+            # init_velocity samples a DENSE frame0->1 flow field at the
+            # seeds; with lk_sparse it would crash inside jit tracing
+            raise ValueError(
+                "tracks.init_velocity=True requires a dense flow method "
+                "(it samples the frame0->1 flow field); "
+                "flow.method='lk_sparse' has none")
 
     # ---- (de)serialization for CLI / checkpointing ----
     def to_json(self) -> str:

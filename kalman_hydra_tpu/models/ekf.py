@@ -235,13 +235,30 @@ def ekf_step(state: TrackState, flow: jnp.ndarray, cfg: EkfConfig,
                                    precision=_PREC)
             x_new, P_new, nis = update(x_pred, P_pred, y_adj, H, R)
             x_lin = x_new
-    # masked commit: dead tracks carry prediction only
-    m = state.alive[:, None]
-    x_out = jnp.where(m, x_new, x_pred)
-    P_out = jnp.where(m[..., None], P_new, P_pred)
-    nis = jnp.where(state.alive, nis, 0.0)
-    new_state = state._replace(x=x_out, P=P_out)
+    return commit_update(state, x_pred, P_pred, x_new, P_new, nis, cfg)
+
+
+def commit_update(state: TrackState, x_pred, P_pred, x_new, P_new, nis,
+                  cfg: EkfConfig, valid=None):
+    """Masked commit shared by EVERY measurement channel (flow EKF,
+    sparse LK, photometric): live (= alive & valid) tracks take the
+    update; everything else keeps the prediction.
+
+    A LIVE track whose measurement is INVALID (LK status false,
+    low-texture photometric patch) reports nis = gate_chi2 + 1 so the
+    lifecycle gate counts it as a miss — an invalid measurement IS a
+    missed measurement. (It used to report nis = 0, which RESET the miss
+    counter every frame: a permanently occluded lk_sparse/photometric
+    track coasted at the constant-velocity extrapolation forever and
+    never freed its pool slot.) Dead slots report nis = 0.
+    """
+    live = state.alive if valid is None else (state.alive & valid)
+    m = live[:, None]
+    miss_nis = jnp.float32(cfg.gate_chi2) + 1.0
+    nis = jnp.where(live, nis, jnp.where(state.alive, miss_nis, 0.0))
+    new_state = state._replace(x=jnp.where(m, x_new, x_pred),
+                               P=jnp.where(m[..., None], P_new, P_pred))
     if cfg.adaptive_q > 0 and state.q_scale is not None:
         new_state = new_state._replace(
-            q_scale=adapt_q(state.q_scale, nis, state.alive, cfg))
+            q_scale=adapt_q(state.q_scale, nis, live, cfg))
     return new_state, {"x_pred": x_pred, "P_pred": P_pred, "nis": nis}

@@ -129,18 +129,11 @@ def photometric_step(state, prev_gray: jnp.ndarray, gray: jnp.ndarray,
     Hm = jnp.asarray(dynamics.position_H(cfg))
     y = z - x_pred[:, 0:2]
     x_new, P_new, nis = update(x_pred, P_pred, y, Hm, Rk)
-    live = state.alive & valid
-    m = live[:, None]
-    x_out = jnp.where(m, x_new, x_pred)
-    P_out = jnp.where(m[..., None], P_new, P_pred)
-    nis = jnp.where(live, nis, 0.0)
-    new_state = state._replace(x=x_out, P=P_out)
-    if cfg.adaptive_q > 0 and state.q_scale is not None:
-        from .ekf import adapt_q
-        new_state = new_state._replace(
-            q_scale=adapt_q(state.q_scale, nis, live, cfg))
-    return (new_state,
-            {"x_pred": x_pred, "P_pred": P_pred, "nis": nis})
+    # valid=False (texture-poor patch / clipped drift) counts as a MISS
+    # via the shared commit so the lifecycle gate can recycle the slot
+    from .ekf import commit_update
+    return commit_update(state, x_pred, P_pred, x_new, P_new, nis, cfg,
+                         valid=valid)
 
 
 def photometric_refine(state, aux, prev_gray: jnp.ndarray,

@@ -80,6 +80,43 @@ def _flow_field(prev_gray, gray, cfg: RunConfig):
     raise ValueError(f"dense flow required, got {cfg.flow.method!r}")
 
 
+def _prime_init_velocity(carry0: "Carry", frame1, cfg: RunConfig) -> "Carry":
+    """Prime track velocities with the frame0->frame1 flow at the seeds:
+    the filter starts converged instead of dead-reckoning from v=0
+    (TrackConfig.init_velocity). Shared by track_arrays and
+    track_stream's fresh start so the two drivers stay trajectory-
+    identical. Reuses frame 0's cached polyexp pyramid when the flow
+    method carries one (the photometric channel doesn't -> dense
+    fallback)."""
+    from .ops.warp import sample_flow
+    gray1 = grayscale_u8(frame1)
+    if cfg.flow.method == "farneback" and carry0.prev_rpyr:
+        from .ops.farneback import farneback_from_pyramids, polyexp_pyramid
+        impl0 = _effective_impl(cfg)
+        rpyr1 = polyexp_pyramid(gray1, cfg.flow, impl=impl0,
+                                interpret=cfg.pallas_interpret)
+        flow01 = farneback_from_pyramids(
+            carry0.prev_rpyr, rpyr1, cfg.flow, impl=impl0,
+            interpret=cfg.pallas_interpret)
+    else:
+        flow01 = _flow_field(carry0.prev_gray, gray1, cfg)
+    v0 = sample_flow(flow01, carry0.tracks.x[:, 0:2]) / cfg.ekf.dt
+    x0 = carry0.tracks.x.at[:, 2:4].set(v0)
+    return carry0._replace(tracks=carry0.tracks._replace(x=x0))
+
+
+def _fresh_corner_pool(gray, cfg: RunConfig):
+    """Corner pool exactly as the per-frame step refreshes it
+    (seed_in_body mask included) — shared by the step, init_from_frame's
+    reinit cache, and resume's cache fallback, so early-frame and
+    post-resume reseeds can't silently come from off-body corners."""
+    mask = None
+    if cfg.tracks.seed_in_body:
+        from .ops.segment import segment_body
+        mask = segment_body(gray)
+    return corner_pool(gray, cfg.tracks, mask=mask)
+
+
 def make_step(cfg: RunConfig):
     """Build the per-frame step function (closed over static config)."""
     F = jnp.asarray(dynamics.transition(cfg.ekf))
@@ -116,20 +153,13 @@ def make_step(cfg: RunConfig):
             x_pred, P_pred = _predict_only(state, F, Q)
             z = pos + (new_pts - pos)  # = new_pts; kept explicit for clarity
             y = z - x_pred[:, 0:2]
-            from .models.ekf import update as kf_update
+            from .models.ekf import commit_update, update as kf_update
             Hm = jnp.asarray(dynamics.position_H(cfg.ekf))
             x_new, P_new, nis = kf_update(x_pred, P_pred, y, Hm, R)
-            live = state.alive & ok
-            m = live[:, None]
-            nis = jnp.where(live, nis, 0.0)
-            state = state._replace(
-                x=jnp.where(m, x_new, x_pred),
-                P=jnp.where(m[..., None], P_new, P_pred))
-            if cfg.ekf.adaptive_q > 0 and state.q_scale is not None:
-                from .models.ekf import adapt_q
-                state = state._replace(
-                    q_scale=adapt_q(state.q_scale, nis, live, cfg.ekf))
-            aux = {"x_pred": x_pred, "P_pred": P_pred, "nis": nis}
+            # ok=False (LK lost the point) counts as a MISS via the
+            # shared commit so the lifecycle gate can recycle the slot
+            state, aux = commit_update(state, x_pred, P_pred, x_new,
+                                       P_new, nis, cfg.ekf, valid=ok)
         elif cfg.flow.method == "farneback":
             # reuse the cached polyexp pyramid of the previous frame
             # (both impls: the pallas path would otherwise recompute each
@@ -164,11 +194,7 @@ def make_step(cfg: RunConfig):
                      if carry.frame_idx is not None else None)
         if cfg.tracks.reinit:
             def fresh_pool(g):
-                mask = None
-                if cfg.tracks.seed_in_body:
-                    from .ops.segment import segment_body
-                    mask = segment_body(g)
-                return corner_pool(g, cfg.tracks, mask=mask)
+                return _fresh_corner_pool(g, cfg)
 
             if cfg.tracks.reinit_every <= 1 or not corner_cache:
                 cpts, cscore = fresh_pool(gray)
@@ -246,7 +272,7 @@ def init_from_frame(frame0, cfg: RunConfig) -> Carry:
                                  interpret=cfg.pallas_interpret)
     corner_cache = ()
     if cfg.tracks.reinit and cfg.tracks.reinit_every > 1:
-        corner_cache = corner_pool(gray0, cfg.tracks)
+        corner_cache = _fresh_corner_pool(gray0, cfg)
     lag_buf = (_lag_buf_init(state, cfg.smooth.lag)
                if cfg.smooth.enabled and cfg.smooth.lag > 0 else ())
     return Carry(tracks=state, prev_gray=gray0, prev_rpyr=rpyr,
@@ -268,14 +294,7 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
         # stays active with explicit seeds
         carry0 = carry0._replace(tracks=init_tracks(cfg.ekf, seeds))
     if cfg.tracks.init_velocity:
-        # prime velocities with the frame0->frame1 flow at the seeds: the
-        # filter starts converged instead of dead-reckoning from v=0
-        from .ops.warp import sample_flow
-        gray1 = grayscale_u8(frames[1])
-        flow01 = _flow_field(carry0.prev_gray, gray1, cfg)
-        v0 = sample_flow(flow01, carry0.tracks.x[:, 0:2]) / cfg.ekf.dt
-        x0 = carry0.tracks.x.at[:, 2:4].set(v0)
-        carry0 = carry0._replace(tracks=carry0.tracks._replace(x=x0))
+        carry0 = _prime_init_velocity(carry0, frames[1], cfg)
     if carry0.lag_buf and (seeds is not None or cfg.tracks.init_velocity):
         # the fixed-lag window was primed from the corner-pool state in
         # init_from_frame; re-prime it from the (replaced) seed state so
@@ -351,11 +370,31 @@ def flow_sequence(frames, cfg: RunConfig, smooth: bool = False):
     """
     grays = grayscale_u8(frames)
 
-    def body(prev_gray, gray):
-        fl = _flow_field(prev_gray, gray, cfg)
-        return gray, fl
+    if cfg.flow.method == "farneback":
+        # carry the cached polyexp pyramid so each interior frame is
+        # expanded ONCE, not twice (same caching contract as make_step;
+        # a per-pair farneback() call recomputed frame t's polyexp as
+        # 'prev' at step t+1)
+        from .ops.farneback import farneback_from_pyramids, polyexp_pyramid
+        impl = _effective_impl(cfg)
+        interp = cfg.pallas_interpret
 
-    _, flows = lax.scan(body, grays[0], grays[1:])
+        def body(rpyr_prev, gray):
+            rpyr = polyexp_pyramid(gray, cfg.flow, impl=impl,
+                                   interpret=interp)
+            fl = farneback_from_pyramids(rpyr_prev, rpyr, cfg.flow,
+                                         impl=impl, interpret=interp)
+            return rpyr, fl
+
+        rpyr0 = polyexp_pyramid(grays[0], cfg.flow, impl=impl,
+                                interpret=interp)
+        _, flows = lax.scan(body, rpyr0, grays[1:])
+    else:
+        def body(prev_gray, gray):
+            fl = _flow_field(prev_gray, gray, cfg)
+            return gray, fl
+
+        _, flows = lax.scan(body, grays[0], grays[1:])
     if smooth:
         from .models.pixel_ekf import PixelEkfParams, smooth_flow_sequence
         flows = smooth_flow_sequence(flows, PixelEkfParams())
@@ -407,6 +446,9 @@ def track_clip(frames: np.ndarray, cfg: RunConfig,
 
     `seeds`: optional (num_tracks, 2) positions overriding corner seeding
     (used by parity tests to pin both pipelines to the same tracks).
+    `with_history` is accepted for backward compatibility but has no
+    effect: Trajectories never carries filter history (use
+    `track_arrays(..., with_history=True)` for raw x/P histories).
     """
     frames_d = jnp.asarray(frames)
     seeds_d = None if seeds is None else jnp.asarray(seeds)
@@ -428,7 +470,11 @@ def track_clip(frames: np.ndarray, cfg: RunConfig,
             outs = {k: v for k, v in outs.items()
                     if k in ("pos", "alive", "nis", "track_id", "smoothed")}
     else:
-        outs = _track_clip_jit(frames_d, cfg, with_history, seeds_d)
+        # Trajectories never carries filter history, so always prune it
+        # INSIDE the jit — with_history=True used to materialize the full
+        # (T, K, n, n) P histories in HBM only for the host keep-filter
+        # below to discard them unfetched
+        outs = _track_clip_jit(frames_d, cfg, False, seeds_d)
         # fetch only the trajectory-sized outputs (D2H is the expensive
         # path; smoothing already ran on device)
         keep = ("pos", "alive", "nis", "track_id", "smoothed")
@@ -513,7 +559,7 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
             if ccache is not None:
                 corner_cache = tuple(jnp.asarray(a) for a in ccache)
             else:
-                corner_cache = corner_pool(prev_gray_d, cfg.tracks)
+                corner_cache = _fresh_corner_pool(prev_gray_d, cfg)
         tracks_d = jax.tree.map(jnp.asarray, state)
         if cfg.smooth.enabled and cfg.smooth.lag > 0:
             # the checkpointed smoother window makes resume BIT-IDENTICAL
@@ -545,6 +591,21 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
             frame0 = next(it)
         carry = jax.jit(init_from_frame, static_argnames="cfg")(
             jnp.asarray(frame0), cfg)
+        if cfg.tracks.init_velocity:
+            # peek frame 1 to prime velocities exactly as track_arrays
+            # does (streaming and clip runs of the same config used to
+            # silently diverge), then replay it through the main loop
+            import itertools
+            frame1 = next(it, None)
+            if frame1 is not None:
+                carry = jax.jit(_prime_init_velocity,
+                                static_argnames="cfg")(
+                    carry, jnp.asarray(frame1), cfg)
+                if carry.lag_buf:
+                    # re-prime the smoother window from the seeded state
+                    carry = carry._replace(lag_buf=_lag_buf_init(
+                        carry.tracks, cfg.smooth.lag))
+                it = itertools.chain([frame1], it)
         rows.append(_state_row(carry, cfg, fetch_keys))
 
     raw_step = make_step(cfg)

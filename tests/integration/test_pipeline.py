@@ -51,6 +51,20 @@ def test_streaming_matches_clip_mode(clip96, cfg96):
     assert np.array_equal(tr_clip.alive, tr_stream.alive)
 
 
+def test_streaming_matches_clip_mode_init_velocity(clip96, cfg96):
+    """Regression: track_stream silently ignored tracks.init_velocity,
+    so streaming and clip runs of the same config diverged through the
+    dead-reckoning transient."""
+    frames, truth = clip96
+    cfg = cfg96.replace(tracks=TrackConfig(num_tracks=8, reinit=True,
+                                           corner_pool=32,
+                                           init_velocity=True))
+    tr_clip = pl.track_clip(frames, cfg)
+    tr_stream = pl.track_stream(iter(frames), cfg)
+    assert np.allclose(tr_clip.positions, tr_stream.positions, atol=1e-4)
+    assert np.array_equal(tr_clip.alive, tr_stream.alive)
+
+
 def test_full_pipeline_with_lifecycle_and_smoothing(clip96):
     frames, _ = clip96
     cfg = RunConfig(flow=FlowConfig(levels=3),

@@ -272,3 +272,28 @@ def test_adaptive_q_inflates_and_recovers(rng):
     for _ in range(20):
         st2, _ = jekf.ekf_step(st2, flow_cold, cfg, F, Q, R)
     assert float(np.asarray(st2.q_scale).mean()) < 0.5 * hot
+
+
+def test_invalid_measurement_counts_as_miss():
+    """Regression: a live track whose measurement is INVALID (LK status
+    false / texture-poor photometric patch) used to report nis = 0,
+    which reset the miss counter every frame — a permanently occluded
+    track coasted forever. commit_update must report a gate-failing NIS
+    so max_misses consecutive invalid frames kill the slot."""
+    from kalman_hydra_tpu.models.ekf import commit_update
+    cfg = EkfConfig(gate_chi2=9.21, max_misses=3)
+    st = _mk_state()
+    K = st.x.shape[0]
+    valid = jnp.asarray([True, False, True, False, True, True])
+    for _ in range(cfg.max_misses):
+        x_pred, P_pred = st.x, st.P
+        st2, aux = commit_update(st, x_pred, P_pred, st.x + 1.0,
+                                 st.P * 1.1, jnp.ones(K), cfg,
+                                 valid=valid)
+        st = lifecycle.gate(st2, x_pred, P_pred, aux["nis"], cfg)
+        st = lifecycle.kill_lost(st, cfg, height=10_000, width=10_000)
+    alive = np.asarray(st.alive)
+    assert not alive[1] and not alive[3], alive
+    assert alive[[0, 2, 4, 5]].all(), alive
+    # valid tracks took the update, invalid kept the prediction
+    assert np.isfinite(np.asarray(aux["nis"])).all()
