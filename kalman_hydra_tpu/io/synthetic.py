@@ -373,7 +373,13 @@ def translating_pair(
     Returns (a, b, flow_true) with a, b float32 in [0, 255].
     """
     rng = np.random.default_rng(seed)
-    pad = 16
+    sx, sy = shift
+    # the padding must cover the shift: with the old fixed pad=16 a
+    # |shift| > 16 wrapped negative indices to the texture's opposite
+    # edge, silently corrupting frame b while flow_true claimed the full
+    # shift. (pad stays 16 for |shift| <= 15 so existing goldens are
+    # byte-identical.)
+    pad = max(16, int(np.ceil(max(abs(sx), abs(sy)))) + 1)
     big = _textured_background(height + 2 * pad, width + 2 * pad, rng) * 255.0
 
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
@@ -381,9 +387,8 @@ def translating_pair(
 
     # content moves BY +shift from a to b: b(p) = a(p - shift), so the
     # forward flow (prev=a -> next=b, OpenCV convention) is exactly +shift.
-    sx, sy = shift
-    x_src = xx + pad - sx
-    y_src = yy + pad - sy
+    x_src = np.clip(xx + pad - sx, 0.0, width + 2 * pad - 1.001)
+    y_src = np.clip(yy + pad - sy, 0.0, height + 2 * pad - 1.001)
     x0 = np.floor(x_src).astype(np.int32)
     y0 = np.floor(y_src).astype(np.int32)
     fx = (x_src - x0).astype(np.float32)

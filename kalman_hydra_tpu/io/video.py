@@ -99,22 +99,48 @@ class PrefetchStream:
     def __init__(self, stream, depth: int = 4):
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stream = stream
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
+
+    def _put(self, item) -> bool:
+        """Bounded put so an abandoned consumer can't pin this thread
+        (and the open decoder) for the process lifetime."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _worker(self):
         try:
             for frame in self._stream:
-                self._q.put(frame)
-        finally:
-            self._q.put(self._END)
+                if not self._put(frame):
+                    return
+            self._put(self._END)
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            # a decode error must NOT look like a clean end-of-stream
+            # (it used to: the old finally put _END and tracking silently
+            # returned partial trajectories as success)
+            self._put(e)
 
     def __iter__(self):
-        while True:
-            item = self._q.get()
-            if item is self._END:
-                break
-            yield item
+        try:
+            while True:
+                item = self._q.get()
+                if item is self._END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            self._stop.set()
+            try:
+                self._q.get_nowait()        # wake a blocked put
+            except queue.Empty:
+                pass
 
 
 def device_prefetch(frames, depth: int = 2):

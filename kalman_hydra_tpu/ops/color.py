@@ -1,10 +1,12 @@
 """Grayscale conversion (cv2.cvtColor BGR2GRAY twin).
 
-OpenCV converts uint8 BGR with the fixed-point BT.601 weights
-(R*4899 + G*9617 + B*1868 + 8192) >> 14, which is what `grayscale_u8`
-reproduces bit-exactly so the device pipeline sees the same intensities the
-oracle feeds to cv2 (SURVEY.md §2.3). The float path is the fused in-pipeline
-version (XLA folds it into downstream filtering).
+OpenCV 5.x converts uint8 BGR with the 15-bit fixed-point BT.601 weights
+(B*3735 + G*19235 + R*9798 + 16384) >> 15, which is what `grayscale_u8`
+reproduces bit-exactly against the INSTALLED cv2 5.0.0 oracle (and what
+native/frameloader.cpp hand-codes). NOTE: OpenCV 4.x used a 14-bit variant
+that differs on ~0.3% of pixels — parity is against the 5.x oracle
+(SURVEY.md §2.3). The float path is the fused in-pipeline version (XLA
+folds it into downstream filtering).
 """
 
 from __future__ import annotations

@@ -46,6 +46,11 @@ def otsu_threshold(gray: jnp.ndarray) -> jnp.ndarray:
 
 def _pool(mask: jnp.ndarray, size: int, op: str) -> jnp.ndarray:
     """size x size min/max pooling (erode/dilate) with edge padding."""
+    if size % 2 == 0:
+        # symmetric (r, r) padding only preserves shape for odd windows;
+        # an even size would grow the output by one pixel per call and
+        # crash downstream with a broadcast error deep in jit
+        raise ValueError(f"morphology window must be odd, got {size}")
     r = size // 2
     init = -jnp.inf if op == "max" else jnp.inf
     fn = lax.max if op == "max" else lax.min

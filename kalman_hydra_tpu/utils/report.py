@@ -37,8 +37,11 @@ def run_report(tracks: Trajectories, wall_seconds: Optional[float] = None,
                                        + [np.inf])
             rep["nis_mean"] = float(nis.mean())
             rep["nis_p95"] = float(np.percentile(nis, 95))
+            # hist[i] counts [edges[i], edges[i+1]): label "<b" pairs with
+            # the bin ENDING at b (the old hist[1:] zip dropped the first
+            # bin and shifted every label by one)
             rep["nis_hist"] = {f"<{e}": int(c) for e, c in
-                               zip(list(nis_bins) + ["inf"], hist[1:])}
+                               zip(list(nis_bins) + ["inf"], hist)}
             # fraction above the configured chi^2 gate (EkfConfig.gate_chi2),
             # not the top histogram bin — the bins are display-only
             rep["nis_gated_fraction"] = float((nis > gate_chi2).mean())

@@ -114,3 +114,19 @@ def test_all_black_frames_do_not_crash():
                     tracks=TrackConfig(num_tracks=8, corner_pool=16))
     tr = pl.track_clip(frames, cfg)
     assert np.isfinite(tr.positions).all()
+
+
+def test_nis_hist_bins_align_with_labels():
+    """Regression: the histogram labels were shifted one bin (the [0,0.5)
+    count vanished and outliers landed under '<50')."""
+    import numpy as np
+    from kalman_hydra_tpu.io.export import Trajectories
+    T, K = 2, 6
+    nis = np.array([[0.1, 0.7, 1.5, 3.0, 5.0, 100.0]] * T, np.float32)
+    tr = Trajectories(positions=np.zeros((T, K, 2), np.float32),
+                      alive=np.ones((T, K), bool), nis=nis,
+                      track_id=np.zeros((T, K), np.int32), smoothed=None)
+    h = run_report(tr)["nis_hist"]
+    assert h["<0.5"] == 2 and h["<1"] == 2 and h["<2"] == 2
+    assert h["<4"] == 2 and h["<9.21"] == 2
+    assert h["<50"] == 0 and h["<inf"] == 2
