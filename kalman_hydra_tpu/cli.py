@@ -43,7 +43,7 @@ def _load_cfg(args):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="kalman_hydra_tpu")
-    ap.add_argument("--v", action="count", default=0,
+    ap.add_argument("-v", "--v", action="count", default=0, dest="v",
                     help="verbosity (-v info, -vv debug)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
@@ -99,9 +99,18 @@ def main(argv=None):
         from . import pipeline as pl
         cfg = _load_cfg(args)
 
+        if (args.checkpoint or args.resume) and not args.stream:
+            ap.error("--checkpoint/--resume require --stream "
+                     "(clip mode has no incremental state to save)")
+
         def run():
             if args.stream:
-                stream = PrefetchStream(FrameStream(args.video), depth=4)
+                src = FrameStream(args.video)
+                if args.max_frames:
+                    # bound the stream (used to be silently ignored here)
+                    import itertools
+                    src = itertools.islice(iter(src), args.max_frames)
+                stream = PrefetchStream(src, depth=4)
                 tracks = pl.track_stream(
                     stream, cfg, checkpoint_path=args.checkpoint,
                     checkpoint_every=args.checkpoint_every,
@@ -132,10 +141,18 @@ def main(argv=None):
 
     if args.cmd == "flow":
         from . import api
-        from .config import FlowConfig
+        from .config import FlowConfig, RunConfig
         a = _load_frame(args.a)
         b_ = _load_frame(args.b)
-        cfg = FlowConfig(**({"method": args.method} if args.method else {}))
+        if args.config:
+            # --config takes a RunConfig JSON (same format as `track`);
+            # the flow section drives this command (it used to be
+            # accepted and silently ignored)
+            cfg = RunConfig.from_json(open(args.config).read()).flow
+        else:
+            cfg = FlowConfig()
+        if args.method:
+            cfg = dataclasses.replace(cfg, method=args.method)
         fl = api.flow(a, b_, cfg)
         np.savez_compressed(args.out, flow=fl)
         mag = np.linalg.norm(fl, axis=-1)

@@ -53,6 +53,9 @@ def _load():
     lib.fl_next.argtypes = [ctypes.c_void_p,
                             ctypes.POINTER(ctypes.c_uint8)]
     lib.fl_close.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "fl_error"):
+        lib.fl_error.restype = ctypes.c_int
+        lib.fl_error.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -104,6 +107,16 @@ class NativeFrameStream:
         ptr = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         while True:
             if not self._lib.fl_next(self._h, ptr):
+                # distinguish a decode failure from a clean end-of-stream
+                # (a truncated/odd-dimension frame used to look like EOF
+                # and the pipeline exported a half-length trajectory as
+                # success); older .so builds without fl_error fall back
+                # to the EOF interpretation
+                if (hasattr(self._lib, "fl_error")
+                        and self._lib.fl_error(self._h)):
+                    raise RuntimeError(
+                        "native loader: decode error mid-stream (frame "
+                        "dimensions disagree with the container header)")
                 break
             yield buf.copy()
 

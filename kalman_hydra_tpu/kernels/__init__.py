@@ -4,9 +4,11 @@ Each kernel is a drop-in twin of an XLA op in `ops/` (same signatures,
 float-noise equivalence enforced by tests/unit/test_kernels.py in
 interpret mode). Select at runtime with RunConfig.impl = "pallas".
 
-Note: the axon dev relay cannot currently compile Mosaic kernels
-(CLAUDE.md); on real TPU hardware with a standard libtpu toolchain these
-compile as usual.
+ALL kernels are compiled and parity-verified on real v5e silicon
+(tools/pallas_hw_test.py; PARITY.md hardware table) — impl="pallas" is
+the production path (160.6 fps/chip at 1080p, BASELINE.md round 3).
+On CPU backends they run in interpret mode for tests
+(RunConfig.pallas_interpret).
 """
 from .ekf_pallas import ekf_fused_step
 from .flow_update_pallas import flow_update

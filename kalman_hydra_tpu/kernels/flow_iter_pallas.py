@@ -34,9 +34,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.filters import gaussian_kernel
-
-_BORDER = 5
-_BORDER_SCALE = (0.14, 0.14, 0.4472, 0.4472, 0.4472)
+# OpenCV's border taper — single source of truth is the XLA twin
+# (ops/farneback.py); every kernel that damps borders shares this
+# _damp_vec so the constants can't silently diverge
+from ..ops.farneback import _BORDER, _BORDER_SCALE
 
 
 def _round_up(x: int, m: int) -> int:

@@ -249,12 +249,8 @@ def flow_level(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
 
     # image origin at (ra, ca): sublane/lane-aligned so the scratch flow
     # store needs no masking; edge padding reaches hb beyond the image
-    ra = _round_up(hb, 16)
-    ca = 128
-    lh_r = _round_up(lh, 16)
-    lw_r = _round_up(lw, 128)
-    PH = _round_up(ra + lh_r + hb + 1, 16)
-    PW = _round_up(ca + lw_r + hb + 1, 128)
+    _bw, _hb, ra, ca, lh_r, lw_r, PH, PW = _fl_geometry(
+        lh, lw, winsize, max_disp)
 
     def prep(x, f32=False):
         if f32:
@@ -281,6 +277,21 @@ def flow_level(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
     return out[:, :lh, :lw]
 
 
+def _fl_geometry(lh: int, lw: int, winsize: int, max_disp: int):
+    """Padded-layout geometry — the SINGLE owner shared by flow_level and
+    fits_vmem so the eligibility estimate can't diverge from the real
+    buffer shapes. Returns (bw, hb, ra, ca, lh_r, lw_r, PH, PW)."""
+    bw = winsize // 2
+    hb = bw + int(max_disp)
+    ra = _round_up(hb, 16)
+    ca = 128
+    lh_r = _round_up(lh, 16)
+    lw_r = _round_up(lw, 128)
+    PH = _round_up(ra + lh_r + hb + 1, 16)
+    PW = _round_up(ca + lw_r + hb + 1, 128)
+    return bw, hb, ra, ca, lh_r, lw_r, PH, PW
+
+
 def fits_vmem(lh: int, lw: int, winsize: int, max_disp: int,
               itemsize: int, budget_bytes: int = 12 * 1024 * 1024) -> bool:
     """Conservative VMEM estimate for flow_level eligibility.
@@ -288,13 +299,8 @@ def fits_vmem(lh: int, lw: int, winsize: int, max_disp: int,
     Counts the resident buffers (R0, R1, flow input, scratch, out) plus
     the dominant transients (v, R1w and ~4 live M-sized f32 maps).
     """
-    bw = winsize // 2
-    hb = bw + max_disp
-    ra = _round_up(hb, 16)
-    lh_r = _round_up(lh, 16)
-    lw_r = _round_up(lw, 128)
-    PH = _round_up(ra + lh_r + hb + 1, 16)
-    PW = _round_up(128 + lw_r + hb + 1, 128)
+    bw, _hb, _ra, _ca, lh_r, lw_r, PH, PW = _fl_geometry(
+        lh, lw, winsize, max_disp)
     mrows, mcols = lh_r + 2 * bw, lw_r + 2 * bw
     resident = (2 * 5 * PH * PW * itemsize      # R0 + R1
                 + 2 * 2 * PH * PW * 4           # flow in + scratch

@@ -26,19 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.filters import gaussian_kernel
-
-_BORDER = 5
-_BORDER_SCALE = (0.14, 0.14, 0.4472, 0.4472, 0.4472)
-
-
-def _damp_vec(abs_idx, limit):
-    """Border taper for a vector of (clipped) absolute indices."""
-    idx = jnp.clip(abs_idx, 0, limit - 1)
-    dist = jnp.minimum(idx, limit - 1 - idx)
-    scale = jnp.ones_like(idx, dtype=jnp.float32)
-    for d in range(_BORDER):
-        scale = jnp.where(dist == d, jnp.float32(_BORDER_SCALE[d]), scale)
-    return scale
+from .flow_iter_pallas import _damp_vec  # shared OpenCV border taper
 
 
 def _round8(x: int) -> int:

@@ -200,30 +200,28 @@ def _lk_level(img_a, img_b, gx, gy, pts, guess, cfg: FlowConfig,
         _lk_point_kernel, win, cfg.lk_max_iter,
         float(cfg.lk_eps) ** 2, float(cfg.lk_min_eig))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,          # pts, guess
-        grid=(K,),
-        # pin the images to HBM: with ANY, Mosaic may place small pyramid
-        # levels in VMEM, where slices must be (8, 128)-tile-aligned and
-        # the per-point dynamic window offsets fail to prove divisibility
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
-        # SMEM outputs: scalar stores at the dynamic point index (tiny
-        # VMEM blocks violate Mosaic's (8, 128) block-shape rule)
-        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
-        scratch_shapes=[
-            pltpu.VMEM((rs, cs), jnp.float32),
-            pltpu.VMEM((rs, cs), jnp.float32),
-            pltpu.VMEM((rs, cs), jnp.float32),
-            pltpu.VMEM((rs, cs), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ])
+    # pin the images to HBM: with ANY, Mosaic may place small pyramid
+    # levels in VMEM, where slices must be (8, 128)-tile-aligned and
+    # the per-point dynamic window offsets fail to prove divisibility.
+    # SMEM outputs: scalar stores at the dynamic point index (tiny
+    # VMEM blocks violate Mosaic's (8, 128) block-shape rule).
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * 4
+    out_specs = (pl.BlockSpec(memory_space=pltpu.SMEM),
+                 pl.BlockSpec(memory_space=pltpu.SMEM))
+    scratch_shapes = [
+        pltpu.VMEM((rs, cs), jnp.float32),
+        pltpu.VMEM((rs, cs), jnp.float32),
+        pltpu.VMEM((rs, cs), jnp.float32),
+        pltpu.VMEM((rs, cs), jnp.float32),
+        pltpu.SemaphoreType.DMA((3,)),
+    ]
+
     def call(pts_c, guess_c):
-        Kc = pts_c.shape[0]
+        Kc = pts_c.shape[0]                 # always CH after padding below
         spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(Kc,),
-            in_specs=grid_spec.in_specs, out_specs=grid_spec.out_specs,
-            scratch_shapes=grid_spec.scratch_shapes)
+            in_specs=in_specs, out_specs=out_specs,
+            scratch_shapes=scratch_shapes)
         return pl.pallas_call(
             kernel,
             grid_spec=spec,

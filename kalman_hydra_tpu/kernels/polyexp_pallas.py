@@ -191,7 +191,11 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
     # ops/farneback.py): later changes in the same process are ignored.
     import os as _os
     align = 16 if jnp.dtype(out_dtype).itemsize < 4 else 8
-    th = min(int(_os.environ.get("KH_PE_TH", "128")), _round_up(h, align))
+    # round the knob UP to the sublane alignment (same policy as
+    # fi_geometry's KH_FI_TH): a misaligned tile height makes the i*th
+    # DMA offsets tile-unaligned, which Mosaic rejects on hardware ONLY
+    th = min(_round_up(int(_os.environ.get("KH_PE_TH", "128")), align),
+             _round_up(h, align))
     # KH_PE_VMXU=1: vertical taps as a banded MXU contraction (A/B knob,
     # trace-time; ~1e-6-relative vs the tap loop — see kernel docstring)
     vert_mxu = _os.environ.get("KH_PE_VMXU", "0") == "1"

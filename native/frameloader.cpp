@@ -62,6 +62,17 @@ struct Loader {
         cv::Mat frame;
         for (;;) {
             if (!cap.read(frame)) break;
+            // never trust the container header: a stream that changes
+            // resolution mid-file (or misreports CAP_PROP_FRAME_*) would
+            // make the row copies below read past the decoded Mat
+            if (frame.rows != height || frame.cols != width ||
+                frame.channels() != 3 || frame.depth() != CV_8U) {
+                std::lock_guard<std::mutex> lk(ring.mu);
+                error = true;
+                ring.done = true;
+                ring.cv_data.notify_all();
+                return;
+            }
             std::unique_lock<std::mutex> lk(ring.mu);
             ring.cv_space.wait(lk, [&] {
                 return ring.count < ring.slots.size() || ring.done;
@@ -145,6 +156,15 @@ int fl_next(void* h, uint8_t* out) {
     --L->ring.count;
     L->ring.cv_space.notify_one();
     return 1;
+}
+
+// 1 if the decode thread hit an error (e.g. a frame whose decoded
+// dimensions disagree with the container header) — lets the Python side
+// distinguish a truncated stream from a clean end-of-stream.
+int fl_error(void* h) {
+    auto* L = static_cast<Loader*>(h);
+    std::lock_guard<std::mutex> lk(L->ring.mu);
+    return L->error ? 1 : 0;
 }
 
 void fl_close(void* h) {
