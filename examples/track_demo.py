@@ -15,6 +15,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# KH_CPU=1: pin the CPU backend BEFORE jax initializes (the axon
+# sitecustomize ignores JAX_PLATFORMS; the config API works)
+if os.environ.get("KH_CPU") == "1":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     ap = argparse.ArgumentParser()
