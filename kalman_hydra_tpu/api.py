@@ -74,6 +74,63 @@ def track_video(source: Union[str, np.ndarray],
     return tracks
 
 
+def track_mesh(frames: np.ndarray, cfg: Optional[RunConfig] = None,
+               mesh=None, n_vertices: int = 64, seed: int = 0,
+               streaming: bool = False):
+    """Track a deformable body MESH through a clip with the render channel.
+
+    The reference's core use-case (SURVEY.md §0 orientation): segment the
+    body in frame 0, mesh it (models/mesh.py), then track every vertex with
+    the deformed-mesh appearance observation (models/render.py — the
+    OpenGL-render analog). Pass `mesh` (BodyMesh) to skip segmentation.
+    Returns (mesh, Trajectories); feed positions to
+    models.mesh.mesh_strain_sequence for strain.
+
+    cfg.ekf.measurement defaults to "render" here; "flow_render" combines
+    dense flow (primary) with the render refinement. tracks.num_tracks and
+    reinit are overridden to match the mesh (vertex identity is fixed).
+    """
+    import dataclasses
+    from .config import EkfConfig
+    from .models.render import make_template
+    from .ops.color import grayscale_u8
+    if cfg is None:
+        # deformation-sized process noise: a deforming body accelerates
+        # its vertices (the CV default q=0.05 is sized for rigid tracks;
+        # an underpowered Q makes the NIS gate reject exactly the render
+        # measurements that would correct the filter — vertices then
+        # coast, lag the deformation, and die of accumulated misses)
+        from .config import TrackConfig
+        cfg = RunConfig(ekf=EkfConfig(measurement="render", q=0.5),
+                        tracks=TrackConfig(reinit=False))
+    frames = np.asarray(frames)
+    gray0 = np.asarray(grayscale_u8(jnp.asarray(frames[0])))
+    if mesh is None:
+        from .models.mesh import mesh_from_mask
+        from .ops.segment import segment_body
+        mask = np.asarray(segment_body(jnp.asarray(gray0)))
+        mesh = mesh_from_mask(mask, n_points=n_vertices, seed=seed)
+    tmpl = make_template(gray0, mesh)
+    v = mesh.vertices.shape[0]
+    meas = (cfg.ekf.measurement
+            if cfg.ekf.measurement in ("render", "flow_render")
+            else "render")
+    # one replace: ekf + tracks together, so the measurement/reinit
+    # cross-field validation never sees a half-updated config
+    cfg = cfg.replace(
+        ekf=dataclasses.replace(cfg.ekf, measurement=meas),
+        tracks=dataclasses.replace(cfg.tracks, num_tracks=v, reinit=False))
+    if streaming:
+        tracks = _pipeline.track_stream(iter(frames[1:]), cfg,
+                                        frame0=frames[0],
+                                        render_tmpl=tmpl,
+                                        seeds=mesh.vertices)
+    else:
+        tracks = _pipeline.track_clip(frames, cfg, seeds=mesh.vertices,
+                                      render_tmpl=tmpl)
+    return mesh, tracks
+
+
 def flow_sequence(frames, cfg: Optional[RunConfig] = None,
                   smooth: bool = False) -> np.ndarray:
     """Dense flow for each consecutive pair of a (T, H, W[, 3]) uint8 clip,

@@ -126,6 +126,10 @@ class EkfConfig:
                                    # | "implicit_flow" (EKF)
                                    # | "photometric" (appearance GN channel)
                                    # | "flow_photometric" (both, sequential)
+                                   # | "render" (mesh-render GN channel —
+                                   #   needs a RenderTemplate, models/render)
+                                   # | "flow_render" (flow primary + render
+                                   #   refine, sequential)
     iekf_iters: int = 1         # >1 enables the iterated-EKF variant
     filter_type: str = "ekf"    # "ekf" | "ukf" (unscented flow update;
                                 # only affects nonlinear flow measurements)
@@ -145,12 +149,20 @@ class EkfConfig:
     photo_r: float = 4.0        # intensity noise variance sigma_I^2 (u8 scale)
     photo_min_eig: float = 0.1  # min structure-tensor eigenvalue / pixel gate
     photo_clip: float = 4.0     # per-iteration GN step clamp (px)
+    # --- mesh-render channel (models/render.py: the deformed-mesh
+    #     appearance observation, SURVEY.md §2.1 #3 — vertices coupled
+    #     through shared triangles, survives rotation/stretch) ---
+    render_iters: int = 5       # block-diagonal Gauss-Newton sweeps
+    render_r: float = 4.0       # intensity noise variance sigma_I^2 (u8 scale)
+    render_min_eig: float = 0.05  # min G eigenvalue per unit support gate
+    render_clip: float = 2.0    # per-sweep GN step clamp (px)
 
     def __post_init__(self):
         if self.state_dim not in (4, 6):
             raise ValueError("state_dim must be 4 or 6")
         if self.measurement not in ("position", "implicit_flow",
-                                    "photometric", "flow_photometric"):
+                                    "photometric", "flow_photometric",
+                                    "render", "flow_render"):
             raise ValueError(f"unknown measurement model {self.measurement!r}")
         if self.photo_win % 2 == 0:
             raise ValueError("photo_win must be odd")
@@ -234,12 +246,21 @@ class RunConfig:
         # so flow-based measurement models would be silently ignored
         if (self.flow.method == "lk_sparse"
                 and self.ekf.measurement in ("implicit_flow",
-                                             "flow_photometric")):
+                                             "flow_photometric",
+                                             "flow_render")):
             raise ValueError(
                 "flow.method='lk_sparse' always measures track positions "
                 "(plain KF update); ekf.measurement="
                 f"{self.ekf.measurement!r} would be silently ignored — "
                 "use measurement='position' or a dense flow method")
+        if (self.ekf.measurement in ("render", "flow_render")
+                and self.tracks.reinit):
+            # render tracks ARE mesh vertices: corner-pool re-seeding would
+            # silently detach track slots from their template vertices
+            raise ValueError(
+                "ekf.measurement='render'/'flow_render' tracks mesh "
+                "vertices whose identity the RenderTemplate fixes; set "
+                "tracks.reinit=False (re-mesh via models.mesh instead)")
         if self.flow.method == "lk_sparse" and self.tracks.init_velocity:
             # init_velocity samples a DENSE frame0->1 flow field at the
             # seeds; with lk_sparse it would crash inside jit tracing

@@ -117,19 +117,44 @@ def _fresh_corner_pool(gray, cfg: RunConfig):
     return corner_pool(gray, cfg.tracks, mask=mask)
 
 
-def make_step(cfg: RunConfig):
-    """Build the per-frame step function (closed over static config)."""
+def _needs_render_tmpl(cfg: RunConfig) -> bool:
+    return cfg.ekf.measurement in ("render", "flow_render")
+
+
+def make_step(cfg: RunConfig, render_tmpl=None):
+    """Build the per-frame step function (closed over static config).
+
+    `render_tmpl`: RenderTemplate for the mesh-render measurement channels
+    (models/render.py); required iff cfg.ekf.measurement is "render" /
+    "flow_render"."""
     F = jnp.asarray(dynamics.transition(cfg.ekf))
     Q = jnp.asarray(dynamics.process_noise(cfg.ekf))
     R = jnp.asarray(cfg.ekf.r * np.eye(2, dtype=np.float32))
     impl = _effective_impl(cfg)
     interp = cfg.pallas_interpret
+    if _needs_render_tmpl(cfg) and render_tmpl is None:
+        raise ValueError(
+            f"ekf.measurement={cfg.ekf.measurement!r} needs a "
+            "RenderTemplate (models.render.make_template) passed as "
+            "render_tmpl — see api.track_mesh")
+    if (render_tmpl is not None
+            and render_tmpl.rest.shape[0] != cfg.tracks.num_tracks):
+        raise ValueError(
+            f"render template has {render_tmpl.rest.shape[0]} vertices but "
+            f"tracks.num_tracks={cfg.tracks.num_tracks}; the track pool IS "
+            "the vertex set (seed with mesh.vertices)")
 
     def step(carry: Carry, frame):
         gray = grayscale_u8(frame)
         h, w = gray.shape
 
-        if cfg.ekf.measurement == "photometric":
+        if cfg.ekf.measurement == "render":
+            # deformed-mesh appearance channel (the reference's OpenGL
+            # render observation): reads the frame directly, no dense flow
+            from .models.render import render_step
+            state, aux = render_step(carry.tracks, gray, cfg.ekf, F, Q,
+                                     render_tmpl)
+        elif cfg.ekf.measurement == "photometric":
             # appearance-only channel (render-residual analog): reads the
             # frames directly, no dense flow — survives flow dropout
             from .models.photometric import photometric_step
@@ -185,6 +210,13 @@ def make_step(cfg: RunConfig):
             state, aux = photometric_refine(state, aux, carry.prev_gray,
                                             gray, carry.tracks.x[:, 0:2],
                                             cfg.ekf)
+        elif cfg.ekf.measurement == "flow_render":
+            # flow primary + mesh-render refinement (SURVEY.md §2.1 #3:
+            # "flow as an additional measurement channel" — the render
+            # model is the reference's primary observation)
+            from .models.render import render_refine
+            state, aux = render_refine(state, aux, gray, cfg.ekf,
+                                       render_tmpl)
 
         state = lifecycle.gate(state, aux["x_pred"], aux["P_pred"],
                                aux["nis"], cfg.ekf)
@@ -228,7 +260,7 @@ def make_step(cfg: RunConfig):
                                     aux["P_pred"])
             xs0, _Ps0 = fixed_lag_smooth(F, *lag_buf)
             out["smoothed_lag"] = xs0[:, 0:2]
-        if cfg.ekf.measurement == "photometric":
+        if cfg.ekf.measurement in ("photometric", "render"):
             new_rpyr = carry.prev_rpyr      # no flow pyramids in this mode
         elif cfg.flow.method == "farneback":
             new_rpyr = rpyr
@@ -261,7 +293,7 @@ def init_from_frame(frame0, cfg: RunConfig) -> Carry:
     state = init_tracks(cfg.ekf, pts, valid=score > 0)
     rpyr = ()
     impl = _effective_impl(cfg)
-    if cfg.ekf.measurement == "photometric":
+    if cfg.ekf.measurement in ("photometric", "render"):
         pass                                 # no flow pyramids in this mode
     elif cfg.flow.method == "farneback":
         from .ops.farneback import polyexp_pyramid
@@ -281,7 +313,7 @@ def init_from_frame(frame0, cfg: RunConfig) -> Carry:
 
 
 def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
-                 seeds: Optional[jnp.ndarray] = None):
+                 seeds: Optional[jnp.ndarray] = None, render_tmpl=None):
     """Pure traced pipeline on a (T, H, W[, 3]) frame array -> output dict.
 
     The functional core shared by the jitted single-clip driver, the
@@ -301,7 +333,7 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
         # the first emissions don't smooth through stale entries
         carry0 = carry0._replace(
             lag_buf=_lag_buf_init(carry0.tracks, cfg.smooth.lag))
-    step = make_step(cfg)
+    step = make_step(cfg, render_tmpl=render_tmpl)
     carry, outs = lax.scan(step, carry0, frames[1:])
     # prepend the frame-0 row
     first = {
@@ -356,10 +388,10 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "with_history"))
 def _track_clip_jit(frames, cfg: RunConfig, with_history: bool,
-                    seeds: Optional[jnp.ndarray] = None):
+                    seeds: Optional[jnp.ndarray] = None, render_tmpl=None):
     # (uint8 frames can't alias any float output, so donation would be a
     # no-op with a warning — XLA frees the buffer after grayscale anyway)
-    return track_arrays(frames, cfg, with_history, seeds)
+    return track_arrays(frames, cfg, with_history, seeds, render_tmpl)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "smooth"))
@@ -441,11 +473,12 @@ def track_precomputed_flow(flows: np.ndarray, seeds: np.ndarray,
 
 def track_clip(frames: np.ndarray, cfg: RunConfig,
                seeds: Optional[np.ndarray] = None,
-               with_history: bool = False) -> Trajectories:
+               with_history: bool = False, render_tmpl=None) -> Trajectories:
     """Track a whole (T, H, W[, 3]) uint8 clip on device.
 
     `seeds`: optional (num_tracks, 2) positions overriding corner seeding
     (used by parity tests to pin both pipelines to the same tracks).
+    `render_tmpl`: RenderTemplate for the mesh-render measurement channels.
     `with_history` is accepted for backward compatibility but has no
     effect: Trajectories never carries filter history (use
     `track_arrays(..., with_history=True)` for raw x/P histories).
@@ -464,7 +497,7 @@ def track_clip(frames: np.ndarray, cfg: RunConfig,
         filt_cfg = cfg.replace(
             smooth=dataclasses.replace(cfg.smooth, enabled=False))
         outs = jax.device_get(
-            _track_clip_jit(frames_d, filt_cfg, True, seeds_d))
+            _track_clip_jit(frames_d, filt_cfg, True, seeds_d, render_tmpl))
         outs["smoothed"] = _smooth_history_chunked(outs, cfg)[..., 0:2]
         if not with_history:
             outs = {k: v for k, v in outs.items()
@@ -474,7 +507,7 @@ def track_clip(frames: np.ndarray, cfg: RunConfig,
         # INSIDE the jit — with_history=True used to materialize the full
         # (T, K, n, n) P histories in HBM only for the host keep-filter
         # below to discard them unfetched
-        outs = _track_clip_jit(frames_d, cfg, False, seeds_d)
+        outs = _track_clip_jit(frames_d, cfg, False, seeds_d, render_tmpl)
         # fetch only the trajectory-sized outputs (D2H is the expensive
         # path; smoothing already ran on device)
         keep = ("pos", "alive", "nis", "track_id", "smoothed")
@@ -509,14 +542,18 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
                  frame0: np.ndarray = None,
                  checkpoint_path: Optional[str] = None,
                  checkpoint_every: int = 0,
-                 resume: bool = False) -> Trajectories:
+                 resume: bool = False, render_tmpl=None,
+                 seeds: Optional[np.ndarray] = None) -> Trajectories:
     """Track a host frame stream with O(1) device memory.
 
     One jitted step per frame; `device_put` overlaps with the previous
     step's compute thanks to JAX async dispatch. With `checkpoint_path` +
     `checkpoint_every`, the (tiny) filter-state pytree is serialized every
     N frames; `resume=True` reloads it and fast-forwards the stream
-    (SURVEY.md §5 checkpoint/resume).
+    (SURVEY.md §5 checkpoint/resume). `seeds` overrides corner seeding
+    with explicit (num_tracks, 2) positions (mesh vertices for the render
+    channel) — same semantics as track_arrays; ignored on resume (the
+    checkpointed state already carries the tracks).
     """
     import os
     from .utils import checkpoint as ckpt
@@ -541,7 +578,7 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
         prev_gray_d = jnp.asarray(prev_gray)
         rpyr = ()
         impl_r = _effective_impl(cfg)
-        if cfg.ekf.measurement == "photometric":
+        if cfg.ekf.measurement in ("photometric", "render"):
             pass                             # no flow pyramids in this mode
         elif cfg.flow.method == "farneback":
             from .ops.farneback import polyexp_pyramid
@@ -591,6 +628,12 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
             frame0 = next(it)
         carry = jax.jit(init_from_frame, static_argnames="cfg")(
             jnp.asarray(frame0), cfg)
+        if seeds is not None:
+            carry = carry._replace(
+                tracks=init_tracks(cfg.ekf, jnp.asarray(seeds)))
+            if carry.lag_buf:
+                carry = carry._replace(
+                    lag_buf=_lag_buf_init(carry.tracks, cfg.smooth.lag))
         if cfg.tracks.init_velocity:
             # peek frame 1 to prime velocities exactly as track_arrays
             # does (streaming and clip runs of the same config used to
@@ -608,7 +651,7 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
                 it = itertools.chain([frame1], it)
         rows.append(_state_row(carry, cfg, fetch_keys))
 
-    raw_step = make_step(cfg)
+    raw_step = make_step(cfg, render_tmpl=render_tmpl)
     step_fn = jax.jit(lambda c, f: raw_step(c, f))
     pending = None
     frame_idx = start_idx
