@@ -87,6 +87,22 @@ def main(argv=None):
     b.add_argument("--config", type=int, default=0)
     b.add_argument("--quick", action="store_true")
 
+    m = sub.add_parser(
+        "mesh", help="segment -> mesh -> track vertices (render channel) "
+        "-> per-triangle strain")
+    m.add_argument("video")
+    m.add_argument("--out", default="mesh_tracks.npz")
+    m.add_argument("--config", help="RunConfig JSON (ekf.measurement "
+                   "render/flow_render; defaults supplied otherwise)")
+    m.add_argument("--vertices", type=int, default=64,
+                   help="mesh vertex count (Lloyd-sampled in the body)")
+    m.add_argument("--seed", type=int, default=0)
+    m.add_argument("--measurement", choices=["render", "flow_render"],
+                   help="override the observation channel")
+    m.add_argument("--max-frames", type=int)
+    m.add_argument("--stream", action="store_true",
+                   help="O(1)-memory streaming driver")
+
     args = ap.parse_args(argv)
     logging.basicConfig(
         level=(logging.WARNING if args.v == 0
@@ -168,6 +184,44 @@ def main(argv=None):
         np.savez_compressed(args.out, frames=frames,
                             truth_positions=truth.positions)
         print(f"wrote {frames.shape} clip -> {args.out}")
+        return 0
+
+    if args.cmd == "mesh":
+        from . import api
+        from .config import RunConfig
+        from .io.video import FrameStream
+        from .models.mesh import mesh_strain_sequence, triangle_quality
+        cfg = None
+        if args.config:
+            cfg = RunConfig.from_json(open(args.config).read())
+        if args.measurement:
+            base = cfg or RunConfig(
+                ekf=dataclasses.replace(RunConfig().ekf, q=0.5),
+                tracks=dataclasses.replace(RunConfig().tracks,
+                                           reinit=False))
+            cfg = base.replace(ekf=dataclasses.replace(
+                base.ekf, measurement=args.measurement))
+        frames = FrameStream(args.video).read_all(limit=args.max_frames)
+        mesh, tracks = api.track_mesh(frames, cfg=cfg,
+                                      n_vertices=args.vertices,
+                                      seed=args.seed,
+                                      streaming=args.stream)
+        strain = mesh_strain_sequence(mesh, tracks.positions)
+        exx = strain["F"][:, :, 0, 0] - 1.0
+        eyy = strain["F"][:, :, 1, 1] - 1.0
+        np.savez_compressed(
+            args.out, vertices=mesh.vertices, triangles=mesh.triangles,
+            positions=tracks.positions, alive=tracks.alive,
+            nis=tracks.nis, track_id=tracks.track_id,
+            exx=exx, eyy=eyy, max_shear=strain["max_shear"],
+            area_ratio=strain["area_ratio"])
+        q = triangle_quality(tracks.positions[-1], mesh.triangles)
+        print(f"meshed {len(mesh.vertices)} vertices / "
+              f"{len(mesh.triangles)} triangles; tracked "
+              f"{tracks.num_frames} frames (live "
+              f"{tracks.alive[-1].mean():.0%}); final strain exx "
+              f"{np.median(exx[-1]):+.4f} eyy {np.median(eyy[-1]):+.4f}, "
+              f"quality floor {q.min():.2f} -> {args.out}")
         return 0
 
     if args.cmd == "bench":
