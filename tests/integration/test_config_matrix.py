@@ -92,3 +92,52 @@ def test_config_combination_tracks(clip48, name, cfg):
 def test_config_json_roundtrip_all(clip48):
     for name, cfg in CONFIGS:
         assert RunConfig.from_json(cfg.to_json()) == cfg, name
+
+
+_RENDER_TRACKS = TrackConfig(num_tracks=9, corner_pool=16, reinit=False)
+
+RENDER_CONFIGS = [
+    ("render_only", RunConfig(
+        flow=FlowConfig(levels=2),
+        ekf=EkfConfig(measurement="render", q=0.5),
+        tracks=_RENDER_TRACKS)),
+    ("flow_render", RunConfig(
+        flow=FlowConfig(levels=2),
+        ekf=EkfConfig(measurement="flow_render", q=0.5),
+        tracks=_RENDER_TRACKS)),
+    ("render_adaptive_q", RunConfig(
+        flow=FlowConfig(levels=2),
+        ekf=EkfConfig(measurement="render", q=0.5, adaptive_q=0.3),
+        tracks=_RENDER_TRACKS)),
+    ("render_smooth_lag", RunConfig(
+        flow=FlowConfig(levels=2),
+        ekf=EkfConfig(measurement="render", q=0.5),
+        tracks=_RENDER_TRACKS, smooth=SmoothConfig(enabled=True, lag=2))),
+    ("render_ca6", RunConfig(
+        flow=FlowConfig(levels=2),
+        ekf=EkfConfig(measurement="render", q=0.5, state_dim=6),
+        tracks=_RENDER_TRACKS)),
+]
+
+
+@pytest.mark.parametrize("name,cfg", RENDER_CONFIGS,
+                         ids=[n for n, _ in RENDER_CONFIGS])
+def test_render_config_combination_tracks(clip48, name, cfg):
+    # mesh-render channels track a fixed vertex set: 3x3 grid over the
+    # clip interior + its rasterized rest template
+    from kalman_hydra_tpu.models.mesh import build_mesh
+    from kalman_hydra_tpu.models.render import make_template
+    from kalman_hydra_tpu.ops.color import grayscale_u8
+    import jax.numpy as jnp
+    xs = np.linspace(12, 36, 3)
+    verts = np.stack(np.meshgrid(xs, xs), axis=-1).reshape(-1, 2)
+    mesh = build_mesh(verts.astype(np.float32))
+    gray0 = np.asarray(grayscale_u8(jnp.asarray(clip48[0])))
+    tmpl = make_template(gray0, mesh)
+    tr = pl.track_clip(clip48, cfg, seeds=mesh.vertices, render_tmpl=tmpl)
+    assert tr.positions.shape == (5, 9, 2)
+    assert np.isfinite(tr.positions).all()
+    assert np.isfinite(tr.nis).all()
+    if cfg.smooth.enabled:
+        assert np.isfinite(tr.smoothed).all()
+    assert RunConfig.from_json(cfg.to_json()) == cfg
