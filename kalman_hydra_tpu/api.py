@@ -16,14 +16,18 @@ from . import pipeline as _pipeline
 
 
 def flow(a: np.ndarray, b: np.ndarray,
-         cfg: Optional[FlowConfig] = None) -> np.ndarray:
+         cfg: Optional[FlowConfig] = None,
+         initial: Optional[np.ndarray] = None) -> np.ndarray:
     """Dense optical flow between two grayscale frames, (H, W, 2) float32.
 
     Oracle-equivalent of cv2.calcOpticalFlowFarneback / dense pyramidal LK
     depending on cfg.method (SURVEY.md §3.2). Accepts uint8 or float
     frames, gray or color; [0, 1]-normalized float frames are rescaled to
     the 0..255 intensity range the solver constants assume (cv2 itself
-    rejects float input outright).
+    rejects float input outright). `initial`: optional (H, W, 2) warm
+    start — cv2's OPTFLOW_USE_INITIAL_FLOW (Farneback only; it seeds the
+    coarsest pyramid level, parity-tested vs the flag in
+    test_farneback.py).
     """
     cfg = cfg or FlowConfig()
     from .ops.color import grayscale_u8
@@ -37,8 +41,15 @@ def flow(a: np.ndarray, b: np.ndarray,
     b_j = grayscale_u8(jnp.asarray(b_np))
     if cfg.method == "farneback":
         from .ops.farneback import farneback as _fb
-        out = jax.jit(_fb, static_argnames="cfg")(a_j, b_j, cfg)
+        if initial is not None:
+            out = jax.jit(_fb, static_argnames="cfg")(
+                a_j, b_j, cfg, flow0=jnp.asarray(initial, jnp.float32))
+        else:
+            out = jax.jit(_fb, static_argnames="cfg")(a_j, b_j, cfg)
     elif cfg.method == "lk_dense":
+        if initial is not None:
+            raise ValueError("initial flow is a Farneback feature "
+                             "(cv2.OPTFLOW_USE_INITIAL_FLOW)")
         from .ops.lk import lk_dense as _lkd
         out = jax.jit(_lkd, static_argnames="cfg")(a_j, b_j, cfg)
     else:

@@ -88,6 +88,13 @@ class FlowConfig:
                                # parity 1.4e-6; cfg2 480p 1130 -> 1270
                                # fps). KH_FI_LEVEL overrides at trace
                                # time.
+    temporal_init: bool = False  # pipeline warm start: seed each frame
+                               # pair's coarsest level with the PREVIOUS
+                               # pair's flow (cv2 OPTFLOW_USE_INITIAL_FLOW
+                               # chained over time; Farneback only). Lets
+                               # small `levels` budgets track motion that
+                               # would otherwise exceed their pyramid
+                               # reach; frame pair 0->1 is a cold start.
 
     def __post_init__(self):
         if self.method not in ("farneback", "lk_dense", "lk_sparse"):
@@ -100,6 +107,10 @@ class FlowConfig:
             raise ValueError(f"unknown lk_solver {self.lk_solver!r}")
         if self.fi_tile_h < 0:
             raise ValueError("fi_tile_h must be >= 0 (0 = kernel default)")
+        if self.temporal_init and self.method != "farneback":
+            raise ValueError("temporal_init chains Farneback's initial-"
+                             "flow warm start (OPTFLOW_USE_INITIAL_FLOW); "
+                             f"method={self.method!r} has none")
 
 
 @dataclass(frozen=True)

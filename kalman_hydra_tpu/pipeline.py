@@ -43,6 +43,8 @@ class Carry(NamedTuple):
     frame_idx: jnp.ndarray = None  # int32 step counter (reinit_every)
     lag_buf: Tuple = ()     # (xf, Pf, xp, Pp, tid, alive) windows, oldest
     #                         first — only when SmoothConfig.lag > 0
+    prev_flow: jnp.ndarray = None  # (H, W, 2) previous pair's flow — only
+    #                                when FlowConfig.temporal_init
 
 
 def _lag_buf_init(state: TrackState, lag: int) -> Tuple:
@@ -194,6 +196,7 @@ def make_step(cfg: RunConfig, render_tmpl=None):
             rpyr = polyexp_pyramid(gray, cfg.flow, impl=impl,
                                    interpret=interp)
             flow = farneback_from_pyramids(carry.prev_rpyr, rpyr, cfg.flow,
+                                           flow0=carry.prev_flow,
                                            impl=impl, interpret=interp)
             state, aux = ekf_step(carry.tracks, flow, cfg.ekf, F, Q, R,
                                   impl=impl, interpret=interp)
@@ -268,9 +271,15 @@ def make_step(cfg: RunConfig, render_tmpl=None):
             new_rpyr = lk_cache
         else:
             new_rpyr = carry.prev_rpyr
+        prev_flow = carry.prev_flow
+        if prev_flow is not None:
+            # temporal warm start: this pair's flow seeds the next pair's
+            # coarsest level (only set when the farneback branch ran —
+            # init_from_frame gates on method + measurement)
+            prev_flow = flow
         return Carry(tracks=state, prev_gray=gray, prev_rpyr=new_rpyr,
                      corner_cache=corner_cache, frame_idx=frame_idx,
-                     lag_buf=lag_buf), out
+                     lag_buf=lag_buf, prev_flow=prev_flow), out
 
     return step
 
@@ -307,9 +316,16 @@ def init_from_frame(frame0, cfg: RunConfig) -> Carry:
         corner_cache = _fresh_corner_pool(gray0, cfg)
     lag_buf = (_lag_buf_init(state, cfg.smooth.lag)
                if cfg.smooth.enabled and cfg.smooth.lag > 0 else ())
+    prev_flow = None
+    if (cfg.flow.temporal_init and cfg.flow.method == "farneback"
+            and cfg.ekf.measurement not in ("photometric", "render")):
+        # pair 0->1 is a cold start (zeros == cv2 USE_INITIAL_FLOW with a
+        # zero field)
+        prev_flow = jnp.zeros(gray0.shape + (2,), jnp.float32)
     return Carry(tracks=state, prev_gray=gray0, prev_rpyr=rpyr,
                  corner_cache=corner_cache,
-                 frame_idx=jnp.int32(0), lag_buf=lag_buf)
+                 frame_idx=jnp.int32(0), lag_buf=lag_buf,
+                 prev_flow=prev_flow)
 
 
 def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
@@ -411,16 +427,22 @@ def flow_sequence(frames, cfg: RunConfig, smooth: bool = False):
         impl = _effective_impl(cfg)
         interp = cfg.pallas_interpret
 
-        def body(rpyr_prev, gray):
+        def body(c, gray):
+            rpyr_prev, fl_prev = c
             rpyr = polyexp_pyramid(gray, cfg.flow, impl=impl,
                                    interpret=interp)
             fl = farneback_from_pyramids(rpyr_prev, rpyr, cfg.flow,
+                                         flow0=fl_prev,
                                          impl=impl, interpret=interp)
-            return rpyr, fl
+            return (rpyr, fl if fl_prev is not None else None), fl
 
         rpyr0 = polyexp_pyramid(grays[0], cfg.flow, impl=impl,
                                 interpret=interp)
-        _, flows = lax.scan(body, rpyr0, grays[1:])
+        # temporal_init: chain each pair's flow into the next pair's
+        # coarsest-level init (pair 0 cold-starts from zeros)
+        fl0 = (jnp.zeros(grays[0].shape + (2,), jnp.float32)
+               if cfg.flow.temporal_init else None)
+        _, flows = lax.scan(body, (rpyr0, fl0), grays[1:])
     else:
         def body(prev_gray, gray):
             fl = _flow_field(prev_gray, gray, cfg)
@@ -573,7 +595,7 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
     it = iter(frame_iter)
     start_idx = 0
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
-        state, prev_gray, start_idx, ccache, lbuf = ckpt.load_state(
+        state, prev_gray, start_idx, ccache, lbuf, pflow = ckpt.load_state(
             checkpoint_path)
         prev_gray_d = jnp.asarray(prev_gray)
         rpyr = ()
@@ -609,11 +631,19 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
                 lag_buf = _lag_buf_init(tracks_d, cfg.smooth.lag)
         else:
             lag_buf = ()
+        prev_flow = None
+        if (cfg.flow.temporal_init and cfg.flow.method == "farneback"
+                and cfg.ekf.measurement not in ("photometric", "render")):
+            # restore the warm-start field for bit-identical resume; old
+            # checkpoints without it re-prime cold (zeros)
+            prev_flow = (jnp.asarray(pflow) if pflow is not None
+                         else jnp.zeros(prev_gray_d.shape + (2,),
+                                        jnp.float32))
         carry = Carry(tracks=tracks_d,
                       prev_gray=prev_gray_d, prev_rpyr=rpyr,
                       corner_cache=corner_cache,
                       frame_idx=jnp.int32(start_idx),
-                      lag_buf=lag_buf)
+                      lag_buf=lag_buf, prev_flow=prev_flow)
         # frame_idx counts filter steps: state at frame_idx=k has consumed
         # frames 0..k (frame 0 seeded the filter), so skip k+1 frames
         import itertools
@@ -671,7 +701,9 @@ def track_stream(frame_iter: Iterator[np.ndarray], cfg: RunConfig,
             ckpt.save_state(checkpoint_path, jax.device_get(carry.tracks),
                             np.asarray(carry.prev_gray), frame_idx,
                             corner_cache=carry.corner_cache,
-                            lag_buf=jax.device_get(carry.lag_buf))
+                            lag_buf=jax.device_get(carry.lag_buf),
+                            prev_flow=(None if carry.prev_flow is None
+                                       else np.asarray(carry.prev_flow)))
     if pending is not None:
         rows.append(jax.device_get(
             {k: pending[k] for k in fetch_keys}))

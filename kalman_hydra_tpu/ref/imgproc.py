@@ -38,13 +38,22 @@ def build_pyramid(img: np.ndarray, levels: int) -> list:
     return pyr
 
 
-def farneback(prev: np.ndarray, nxt: np.ndarray, cfg: FlowConfig) -> np.ndarray:
-    """Dense Farneback flow, (H, W, 2) float32, channel 0 = x displacement."""
+def farneback(prev: np.ndarray, nxt: np.ndarray, cfg: FlowConfig,
+              flow0: np.ndarray = None) -> np.ndarray:
+    """Dense Farneback flow, (H, W, 2) float32, channel 0 = x displacement.
+
+    flow0: optional (H, W, 2) initial flow — wraps
+    cv2.OPTFLOW_USE_INITIAL_FLOW (the warm-start surface the TPU path
+    mirrors with farneback(..., flow0=...))."""
     flags = cv2.OPTFLOW_FARNEBACK_GAUSSIAN if cfg.gaussian_win else 0
+    flow = None
+    if flow0 is not None:
+        flags |= cv2.OPTFLOW_USE_INITIAL_FLOW
+        flow = np.ascontiguousarray(flow0, np.float32)
     return cv2.calcOpticalFlowFarneback(
         prev.astype(np.uint8) if prev.dtype != np.uint8 else prev,
         nxt.astype(np.uint8) if nxt.dtype != np.uint8 else nxt,
-        None,
+        flow,
         cfg.pyr_scale, cfg.levels, cfg.winsize,
         cfg.iterations, cfg.poly_n, cfg.poly_sigma, flags)
 

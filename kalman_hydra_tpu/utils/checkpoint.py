@@ -20,11 +20,16 @@ _LAG_KEYS = ("lag_xf", "lag_Pf", "lag_xp", "lag_Pp", "lag_tid", "lag_alive")
 
 def save_state(path: str, state: TrackState, prev_gray: np.ndarray,
                frame_idx: int, corner_cache: Tuple = (),
-               lag_buf: Tuple = ()) -> None:
+               lag_buf: Tuple = (), prev_flow=None) -> None:
     extra = {}
     if corner_cache:
         extra["corner_pts"] = np.asarray(corner_cache[0])
         extra["corner_score"] = np.asarray(corner_cache[1])
+    if prev_flow is not None:
+        # temporal warm-start field (FlowConfig.temporal_init): without it
+        # the first post-resume pair would cold-start and diverge from an
+        # uninterrupted stream
+        extra["prev_flow"] = np.asarray(prev_flow)
     if state.q_scale is not None:
         extra["q_scale"] = np.asarray(state.q_scale)
     if lag_buf:
@@ -44,9 +49,11 @@ def save_state(path: str, state: TrackState, prev_gray: np.ndarray,
 
 
 def load_state(path: str) -> Tuple[TrackState, np.ndarray, int,
-                                   Optional[Tuple], Optional[Tuple]]:
-    """Returns (state, prev_gray, frame_idx, corner_cache, lag_buf);
-    the last two are None when absent from the file (old checkpoints)."""
+                                   Optional[Tuple], Optional[Tuple],
+                                   Optional[np.ndarray]]:
+    """Returns (state, prev_gray, frame_idx, corner_cache, lag_buf,
+    prev_flow); the last three are None when absent from the file (old
+    checkpoints)."""
     with np.load(path) as z:
         state = TrackState(
             x=z["x"], P=z["P"], alive=z["alive"],
@@ -58,5 +65,6 @@ def load_state(path: str) -> Tuple[TrackState, np.ndarray, int,
         lag_buf = None
         if _LAG_KEYS[0] in z:
             lag_buf = tuple(z[k] for k in _LAG_KEYS)
+        prev_flow = z["prev_flow"] if "prev_flow" in z else None
         return state, z["prev_gray"], int(z["frame_idx"]), corner_cache, \
-            lag_buf
+            lag_buf, prev_flow

@@ -180,7 +180,7 @@ def test_fixed_lag_resume_old_checkpoint_without_window(tmp_path):
     pl.track_stream(iter(frames[:8]), cfg, checkpoint_path=ck,
                     checkpoint_every=7)
     # strip the window entries to emulate a round-2 checkpoint
-    state, prev_gray, idx, ccache, lbuf = ckpt.load_state(ck)
+    state, prev_gray, idx, ccache, lbuf, _pflow = ckpt.load_state(ck)
     assert lbuf is not None
     ckpt.save_state(ck, state, prev_gray, idx, corner_cache=ccache or ())
     resumed = pl.track_stream(iter(frames), cfg, checkpoint_path=ck,

@@ -91,6 +91,30 @@ def test_farneback_initial_flow(pair128):
     assert err.mean() < 0.2
 
 
+def test_farneback_initial_flow_matches_cv2_flag(pair128):
+    """flow0 warm start vs cv2.OPTFLOW_USE_INITIAL_FLOW: both seed the
+    coarsest pyramid level from the supplied field (cv2 resizes with
+    INTER_AREA, we resize linearly — the refinement iterations absorb the
+    difference; parity holds at the usual interior tolerance)."""
+    a, b, _ = pair128
+    a8, b8 = np.round(a).astype(np.uint8), np.round(b).astype(np.uint8)
+    cfg = FlowConfig(levels=3, iterations=2)
+    rng = np.random.default_rng(0)
+    init = (np.broadcast_to(np.float32([3.0, -2.0]), (128, 128, 2))
+            + rng.normal(0, 0.4, (128, 128, 2))).astype(np.float32)
+    got = np.asarray(jax.jit(
+        lambda x, y, f0: FB.farneback(x, y, cfg, flow0=f0))(
+            jnp.asarray(a.astype(np.float32)),
+            jnp.asarray(b.astype(np.float32)), jnp.asarray(init)))
+    ref = ip.farneback(a8, b8, cfg, flow0=init.copy())
+    epe = np.linalg.norm(got - ref, axis=-1)
+    assert epe[8:-8, 8:-8].mean() < 0.05
+    # and the warm start actually helps: closer to truth than a cold
+    # 3-level run of the same iteration budget is to its own init
+    err_true = np.linalg.norm(got - [3.0, -2.0], axis=-1)[8:-8, 8:-8]
+    assert err_true.mean() < 0.05
+
+
 def test_fast_warp_matches_exact(pair128):
     """Select-sum warp vs the exact gather warp: sub-1e-2 px flow EPE."""
     a, b, _ = pair128
