@@ -38,36 +38,45 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "with_history"))
 def _track_batch_jit(clips, cfg: RunConfig, with_history: bool = False,
-                     seeds: Optional[jnp.ndarray] = None):
-    """vmapped multi-clip pipeline (single device, BASELINE.json:10)."""
-    fn = lambda f, s: _pipeline.track_arrays(f, cfg, with_history, s)
+                     seeds: Optional[jnp.ndarray] = None, render_tmpl=None):
+    """vmapped multi-clip pipeline (single device, BASELINE.json:10).
+
+    render_tmpl (RenderTemplate) is shared by every clip — vmap closes
+    over it unmapped (broadcast), matching the replicated sharding the DP
+    path uses."""
+    fn = lambda f, s: _pipeline.track_arrays(f, cfg, with_history, s,
+                                             render_tmpl)
     if seeds is None:
-        return jax.vmap(lambda f: _pipeline.track_arrays(f, cfg,
-                                                         with_history))(clips)
+        return jax.vmap(lambda f: _pipeline.track_arrays(
+            f, cfg, with_history, None, render_tmpl))(clips)
     return jax.vmap(fn)(clips, seeds)
 
 
 def track_clips_batch(clips: np.ndarray, cfg: RunConfig,
-                      seeds: Optional[np.ndarray] = None):
+                      seeds: Optional[np.ndarray] = None, render_tmpl=None):
     """Track a (B, T, H, W[, 3]) uint8 batch with vmap on one device.
 
     Returns a list of B Trajectories."""
     outs = jax.device_get(_track_batch_jit(
         jnp.asarray(clips), cfg, False,
-        None if seeds is None else jnp.asarray(seeds)))
+        None if seeds is None else jnp.asarray(seeds), render_tmpl))
     return _to_trajectories(outs)
 
 
 def track_clips_sharded(clips: np.ndarray, cfg: RunConfig,
                         mesh: Optional[Mesh] = None,
                         seeds: Optional[np.ndarray] = None,
-                        reduce_metrics: bool = False):
+                        reduce_metrics: bool = False, render_tmpl=None):
     """Data-parallel tracking: clip batch sharded over the mesh axis.
 
     B must be divisible by the mesh size. With `reduce_metrics`, also
     returns globally reduced filter-health metrics (mean NIS, live-track
     fraction per frame) — the only cross-device communication
-    (SURVEY.md §5 "Distributed communication backend").
+    (SURVEY.md §5 "Distributed communication backend"). `render_tmpl`
+    (one RenderTemplate shared by all clips — e.g. chunks of one long
+    recording of the same meshed body) is REPLICATED over the mesh; the
+    per-clip render channel then runs collective-free like the rest of
+    the DP hot loop.
     """
     mesh = mesh or make_mesh()
     axis = mesh.axis_names[0]
@@ -79,8 +88,11 @@ def track_clips_sharded(clips: np.ndarray, cfg: RunConfig,
     clips_d = jax.device_put(jnp.asarray(clips), data_sharding)
     seeds_d = (None if seeds is None
                else jax.device_put(jnp.asarray(seeds), data_sharding))
+    tmpl_d = (None if render_tmpl is None
+              else jax.device_put(render_tmpl, NamedSharding(mesh, P())))
 
-    outs, metrics = _track_sharded_jit(clips_d, cfg, reduce_metrics, seeds_d)
+    outs, metrics = _track_sharded_jit(clips_d, cfg, reduce_metrics,
+                                       seeds_d, tmpl_d)
     trajs = _to_trajectories(jax.device_get(outs))
     if reduce_metrics:
         return trajs, jax.device_get(metrics)
@@ -89,12 +101,13 @@ def track_clips_sharded(clips: np.ndarray, cfg: RunConfig,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "reduce_metrics"))
 def _track_sharded_jit(clips_in, cfg: RunConfig, reduce_metrics: bool,
-                       seeds_in=None):
+                       seeds_in=None, render_tmpl=None):
     if seeds_in is None:
-        outs = jax.vmap(lambda f: _pipeline.track_arrays(f, cfg))(clips_in)
+        outs = jax.vmap(lambda f: _pipeline.track_arrays(
+            f, cfg, False, None, render_tmpl))(clips_in)
     else:
         outs = jax.vmap(lambda f, s: _pipeline.track_arrays(
-            f, cfg, False, s))(clips_in, seeds_in)
+            f, cfg, False, s, render_tmpl))(clips_in, seeds_in)
     if reduce_metrics:
         # the only cross-device reduction in the DP path: XLA inserts the
         # psum/all-reduce over the sharded batch axis here

@@ -105,3 +105,33 @@ def test_sharded_with_smoothing(clip_batch):
     trajs = track_clips_sharded(clips[:4], cfg, mesh=mesh, seeds=seeds[:4])
     assert all(t.smoothed is not None and np.isfinite(t.smoothed).all()
                for t in trajs)
+
+
+def test_sharded_render_channel_equals_single(clip_batch):
+    """Mesh-render DP: one replicated RenderTemplate, clips sharded over
+    the mesh — per-clip render tracking must equal the single-device vmap
+    (the template is static data, so the hot loop stays collective-free)."""
+    import jax.numpy as jnp
+    from kalman_hydra_tpu.config import EkfConfig
+    from kalman_hydra_tpu.models.mesh import build_mesh
+    from kalman_hydra_tpu.models.render import make_template
+    from kalman_hydra_tpu.ops.color import grayscale_u8
+    clips, _ = clip_batch
+    xs = np.linspace(16, 48, 2)
+    verts = np.stack(np.meshgrid(xs, xs), axis=-1).reshape(-1, 2)
+    mesh_body = build_mesh(verts.astype(np.float32))
+    gray0 = np.asarray(grayscale_u8(jnp.asarray(clips[0, 0])))
+    tmpl = make_template(gray0, mesh_body)
+    rcfg = RunConfig(
+        flow=FlowConfig(levels=2),
+        ekf=EkfConfig(measurement="render", q=0.5),
+        tracks=TrackConfig(num_tracks=4, reinit=False))
+    seeds = np.broadcast_to(mesh_body.vertices, (8, 4, 2)).copy()
+    single = track_clips_batch(clips, rcfg, seeds=seeds, render_tmpl=tmpl)
+    sharded = track_clips_sharded(clips, rcfg, mesh=make_mesh(8),
+                                  seeds=seeds, render_tmpl=tmpl)
+    for a, b in zip(single, sharded):
+        # segment-sum accumulation order differs under the sharded layout
+        # -> float noise at ~1e-6 relative
+        np.testing.assert_allclose(a.positions, b.positions, atol=5e-4)
+        np.testing.assert_array_equal(a.alive, b.alive)
