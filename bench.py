@@ -96,7 +96,8 @@ def make_clip(t, h, w, seed=0):
 
 
 def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
-                         flow_method="farneback", repeats=None):
+                         flow_method="farneback", repeats=None,
+                         iterations=None, temporal_init=None):
     """Fused flow+EKF throughput on pre-staged device frames.
 
     Returns (fps, extra) where extra carries the median-of-N protocol
@@ -142,9 +143,21 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
                         # KH_DIAG_ITERS/KH_DIAG_LEVELS: DIAGNOSTIC-only
                         # overrides for cost decomposition on the real
                         # clip (changes cv2 semantics — never a default)
-                        iterations=int(os.environ.get("KH_DIAG_ITERS",
-                                                      "3")),
+                        iterations=(iterations if iterations is not None
+                                    else int(os.environ.get("KH_DIAG_ITERS",
+                                                            "3"))),
                         levels=int(os.environ.get("KH_DIAG_LEVELS", "5")),
+                        # KH_TEMPORAL_INIT=1 (or the explicit param):
+                        # chain each pair's flow into the next pair's
+                        # coarsest level (cv2 OPTFLOW_USE_INITIAL_FLOW
+                        # chained over time). Pairs with fewer iterations:
+                        # warm-1 = 289 fps AND lower tracking error than
+                        # cold-3 (tools/temporal_ab.py, BASELINE.md r3).
+                        temporal_init=((temporal_init if temporal_init
+                                        is not None else
+                                        os.environ.get("KH_TEMPORAL_INIT",
+                                                       "0") == "1")
+                                       and flow_method == "farneback"),
                         lk_block_halo=(lk_halo if flow_method == "lk_sparse"
                                        else 0),
                         lk_solver=(lk_solver if flow_method == "lk_sparse"
@@ -481,6 +494,27 @@ def main():
                     _retry(lambda: bench_epe(256, 256), attempts=2), 5)
             except Exception as e:
                 log(f"256p EPE probe skipped: {e}")
+            # temporal warm-start mode (FlowConfig.temporal_init +
+            # iterations=1): the production-video trade — each pair's
+            # coarsest level seeds from the previous pair's flow (cv2
+            # OPTFLOW_USE_INITIAL_FLOW chained). Measured accuracy is
+            # BETTER than the cold-3 contract mode on the bench clip
+            # (track err 1.390 vs 1.465 px; chained EPE vs chained cv2
+            # 0.00043 px — tools/temporal_ab.py, BASELINE.md round-3).
+            # The headline `value` stays the cold per-pair contract
+            # number; this field shows the same chip in temporal mode.
+            if os.environ.get("KH_TEMPORAL_EXTRA", "1") == "1":
+                try:
+                    tfps, tx = _retry(lambda: bench_fused_pipeline(
+                        1080, 1920, t=9,
+                        num_tracks=int(os.environ.get("KH_DIAG_TRACKS",
+                                                      "1024")),
+                        iterations=1, temporal_init=True))
+                    extra["fps_temporal_warm1"] = round(tfps, 3)
+                    extra["temporal_warm1_spread_pct"] = (
+                        tx["fps_spread_pct"])
+                except Exception as e:  # noqa: BLE001
+                    log(f"temporal-mode stage skipped: {e}")
         else:
             fps, epe, metric, base, extra = bench_config(args.config)
     except Exception as e:  # noqa: BLE001

@@ -28,8 +28,15 @@ def _load_cfg(args):
     else:
         cfg = RunConfig()
     over = {}
-    if getattr(args, "method", None):
-        over["flow"] = dataclasses.replace(cfg.flow, method=args.method)
+    if getattr(args, "method", None) or getattr(args, "temporal", False):
+        fover = {}
+        if getattr(args, "method", None):
+            fover["method"] = args.method
+        if getattr(args, "temporal", False):
+            # warm-start chaining (cv2 OPTFLOW_USE_INITIAL_FLOW over
+            # time) is Farneback-only; config validation enforces it
+            fover["temporal_init"] = True
+        over["flow"] = dataclasses.replace(cfg.flow, **fover)
     if getattr(args, "tracks", None):
         over["tracks"] = dataclasses.replace(cfg.tracks,
                                              num_tracks=args.tracks)
@@ -67,6 +74,10 @@ def main(argv=None):
     t.add_argument("--checkpoint-every", type=int, default=0)
     t.add_argument("--resume", action="store_true")
     t.add_argument("--max-frames", type=int)
+    t.add_argument("--temporal", action="store_true",
+                   help="warm-start each pair's flow from the previous "
+                        "pair (Farneback; pairs well with fewer "
+                        "iterations — see BASELINE.md temporal table)")
     t.add_argument("--profile", help="write a jax.profiler trace here")
 
     f = sub.add_parser("flow", help="dense flow between two frames")

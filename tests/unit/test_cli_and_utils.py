@@ -134,3 +134,18 @@ def test_runconfig_rejects_flow_measurement_with_sparse_lk():
     # photometric bypasses flow entirely — allowed
     RunConfig(flow=FlowConfig(method="lk_sparse"),
               ekf=EkfConfig(measurement="photometric"))
+
+
+def test_cli_temporal_flag(tmp_path):
+    """--temporal plumbs FlowConfig.temporal_init through _load_cfg and
+    tracks a clip end-to-end (warm-start chain in the scan carry)."""
+    clip = str(tmp_path / "clip.npz")
+    out = str(tmp_path / "tracks.npz")
+    assert cli_main(["synth", "--out", clip, "--frames", "4",
+                     "--height", "64", "--width", "64"]) == 0
+    assert cli_main(["track", clip, "--out", out, "--tracks", "8",
+                     "--temporal"]) == 0
+    from kalman_hydra_tpu.io.export import load
+    tr = load(out)
+    assert tr.positions.shape == (4, 8, 2)
+    assert np.isfinite(tr.positions).all()
