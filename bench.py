@@ -408,6 +408,50 @@ def bench_epe(h=256, w=256):
     return epe
 
 
+def bench_render_channel(h=480, w=640, n_vertices=64):
+    """Mesh-render observation channel: one full render_step (predict +
+    lumped-GN vertex measurement + EKF update) per frame at 480p with a
+    segmentation-derived V=64 mesh (models/render.py; BASELINE.md
+    round-3 session-7)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from kalman_hydra_tpu.config import EkfConfig
+    from kalman_hydra_tpu.io.synthetic import deforming_body_clip
+    from kalman_hydra_tpu.models import dynamics
+    from kalman_hydra_tpu.models.ekf import init_tracks
+    from kalman_hydra_tpu.models.mesh import mesh_from_mask
+    from kalman_hydra_tpu.models.render import make_template, render_step
+    from kalman_hydra_tpu.ops.color import grayscale_u8
+    from kalman_hydra_tpu.ops.segment import segment_body
+
+    frames, _truth, _strain = deforming_body_clip(num_frames=3, height=h,
+                                                  width=w, seed=0)
+    gray0 = np.asarray(grayscale_u8(jnp.asarray(frames[0])))
+    mask = np.asarray(segment_body(jnp.asarray(gray0)))
+    mesh = mesh_from_mask(mask, n_points=n_vertices, seed=0)
+    tmpl = make_template(gray0, mesh)
+    cfg = EkfConfig(measurement="render", q=0.5)
+    F = jnp.asarray(dynamics.transition(cfg))
+    Q = jnp.asarray(dynamics.process_noise(cfg))
+    state0 = init_tracks(cfg, jnp.asarray(mesh.vertices))
+    gray1 = grayscale_u8(jnp.asarray(frames[1]))
+
+    def repeat_run(g, R):
+        def body(_i, acc):
+            st, _aux = render_step(state0, g + acc * 1e-20, cfg, F, Q,
+                                   tmpl)
+            return acc + jnp.sum(st.x[:, 0]) * 1e-6
+        return lax.fori_loop(0, R, body, jnp.float32(0.0))
+
+    med, _extra = _measure_marginal(repeat_run, gray1, repeats=5)
+    fps = 1.0 / med
+    log(f"render channel {h}x{w} V={n_vertices} "
+        f"P={int(tmpl.tvals.shape[0])}: {med*1e3:.2f} ms/frame "
+        f"=> {fps:.1f} fps")
+    return fps
+
+
 def _retry(fn, attempts=3, backoff=120):
     """The TPU relay sporadically reports UNAVAILABLE / worker restarts;
     retry with a cooldown rather than failing the round's benchmark."""
@@ -515,6 +559,18 @@ def main():
                         tx["fps_spread_pct"])
                 except Exception as e:  # noqa: BLE001
                     log(f"temporal-mode stage skipped: {e}")
+            # mesh-render observation channel (models/render.py — the
+            # reference's OpenGL/CUDA observation model rebuilt): one
+            # full render_step (predict + lumped-GN vertex measurement +
+            # EKF update) at 480p with a segmentation-derived V=64 mesh.
+            # BASELINE.md round-3 session-7: 385 fps after the stacked
+            # gather/segment-sum batching.
+            if os.environ.get("KH_RENDER_EXTRA", "1") == "1":
+                try:
+                    rfps = _retry(lambda: bench_render_channel())
+                    extra["fps_render_480p_v64"] = round(rfps, 3)
+                except Exception as e:  # noqa: BLE001
+                    log(f"render-channel stage skipped: {e}")
         else:
             fps, epe, metric, base, extra = bench_config(args.config)
     except Exception as e:  # noqa: BLE001

@@ -70,11 +70,29 @@ def photometric_measure(prev_gray: jnp.ndarray, gray: jnp.ndarray,
     T = bilinear_sample(prev_gray, tx, ty)              # (K, W*W) template
     gx, gy = _image_gradients(gray)
 
+    # one (H*W, 3) row-gather per sweep instead of three bilinear gathers:
+    # TPU gathers are per-index bound and the payload width is nearly free
+    # (BASELINE.md warp shootout; same batching as models/render.py)
+    h, w = gray.shape
+    planes = jnp.stack([gray, gx, gy], axis=-1).reshape(h * w, 3)
+
+    def samp3(px, py):
+        x = jnp.clip(px, 0.0, w - 1.0)
+        y = jnp.clip(py, 0.0, h - 1.0)
+        x0 = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
+        fx = (x - x0.astype(jnp.float32))[..., None]
+        fy = (y - y0.astype(jnp.float32))[..., None]
+        base = y0 * w + x0
+        g = lambda i: jnp.take(planes, i.reshape(-1), axis=0).reshape(
+            i.shape + (3,))
+        out = (g(base) * (1 - fx) * (1 - fy) + g(base + 1) * fx * (1 - fy)
+               + g(base + w) * (1 - fx) * fy + g(base + w + 1) * fx * fy)
+        return out[..., 0], out[..., 1], out[..., 2]
+
     def gn_iter(p, _):
         px, py = _patch_coords(p, win)
-        I = bilinear_sample(gray, px, py)
-        gxp = bilinear_sample(gx, px, py)
-        gyp = bilinear_sample(gy, px, py)
+        I, gxp, gyp = samp3(px, py)
         e = T - I
         Gxx = jnp.sum(gxp * gxp, axis=-1)
         Gxy = jnp.sum(gxp * gyp, axis=-1)

@@ -175,9 +175,31 @@ def render_measure(gray: jnp.ndarray, tmpl: RenderTemplate,
     (z (V, 2), Rk (V, 2, 2) Gauss-Newton covariance, valid (V,)).
     """
     V = tmpl.rest.shape[0]
+    h, w = gray.shape
     gx, gy = _image_gradients(gray)
     ids = tmpl.tri.reshape(-1)
     w1 = tmpl.bary                                         # (P, 3)
+
+    # TPU gathers/scatters are per-index bound, payload width nearly free
+    # (BASELINE.md warp shootout): stack [gray, gx, gy] into one (H*W, 3)
+    # row-gather per sweep instead of three bilinear gathers, and batch
+    # the five normal-equation reductions into one (3P, 5) segment-sum —
+    # ~4x fewer indices per sweep, bit-identical per-element math.
+    planes = jnp.stack([gray, gx, gy], axis=-1).reshape(h * w, 3)
+
+    def samp3(q):
+        x = jnp.clip(q[:, 0], 0.0, w - 1.0)
+        y = jnp.clip(q[:, 1], 0.0, h - 1.0)
+        x0 = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
+        y0 = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
+        fx = (x - x0.astype(jnp.float32))[:, None]
+        fy = (y - y0.astype(jnp.float32))[:, None]
+        base = y0 * w + x0
+        g = lambda i: jnp.take(planes, i, axis=0)          # (P, 3) rows
+        out = (g(base) * (1 - fx) * (1 - fy) + g(base + 1) * fx * (1 - fy)
+               + g(base + w) * (1 - fx) * fy
+               + g(base + w + 1) * fx * fy)
+        return out[:, 0], out[:, 1], out[:, 2]
 
     def seg(per_pixel, wgt):
         """Scatter (P,) pixel values * (P,3) weights onto vertices."""
@@ -187,15 +209,14 @@ def render_measure(gray: jnp.ndarray, tmpl: RenderTemplate,
     def gn_iter(v):
         vt = v[tmpl.tri]
         q = jnp.einsum("pm,pmc->pc", w1, vt, precision=_PREC)
-        I = bilinear_sample(gray, q[:, 0], q[:, 1])
-        gxp = bilinear_sample(gx, q[:, 0], q[:, 1])
-        gyp = bilinear_sample(gy, q[:, 0], q[:, 1])
+        I, gxp, gyp = samp3(q)
         r = tmpl.tvals - I
-        Gxx = seg(gxp * gxp, w1)
-        Gxy = seg(gxp * gyp, w1)
-        Gyy = seg(gyp * gyp, w1)
-        bx = seg(gxp * r, w1)
-        by = seg(gyp * r, w1)
+        data = jnp.stack([gxp * gxp, gxp * gyp, gyp * gyp,
+                          gxp * r, gyp * r], axis=-1)      # (P, 5)
+        sums = jax.ops.segment_sum(
+            (w1[:, :, None] * data[:, None, :]).reshape(-1, 5),
+            ids, num_segments=V)                           # (V, 5)
+        Gxx, Gxy, Gyy, bx, by = (sums[:, k] for k in range(5))
         det = Gxx * Gyy - Gxy * Gxy
         idet = 1.0 / jnp.maximum(det, 1e-6)
         d = jnp.stack([(Gyy * bx - Gxy * by) * idet,
