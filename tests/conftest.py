@@ -30,6 +30,27 @@ def pytest_configure(config):
         "with -m 'not slow')")
 
 
+# --- XLA:CPU compiler-state hygiene -----------------------------------
+# A single pytest process accumulating ~200 XLA:CPU compiles segfaults
+# deterministically inside backend_compile (reproduced at
+# test_models.py::test_ukf_matches_ekf_on_constant_flow, test #206 — the
+# test itself is healthy and passes alone; the crash moves with the
+# cumulative compile count, not the test). Dropping every live executable
+# periodically keeps the in-process compiler state below the trigger.
+# Cost: the session fixtures' callables recompile after each flush
+# (~tens of seconds over the whole suite) — cheap next to a dead run.
+_TESTS_PER_CACHE_FLUSH = 64
+_test_count = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _xla_cpu_compile_hygiene():
+    yield
+    _test_count["n"] += 1
+    if _test_count["n"] % _TESTS_PER_CACHE_FLUSH == 0:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def blob_clip():
     """Seeded 128x128 moving-blob clip + truth (config-1 style)."""
