@@ -188,17 +188,9 @@ def render_measure(gray: jnp.ndarray, tmpl: RenderTemplate,
     planes = jnp.stack([gray, gx, gy], axis=-1).reshape(h * w, 3)
 
     def samp3(q):
-        x = jnp.clip(q[:, 0], 0.0, w - 1.0)
-        y = jnp.clip(q[:, 1], 0.0, h - 1.0)
-        x0 = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
-        y0 = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
-        fx = (x - x0.astype(jnp.float32))[:, None]
-        fy = (y - y0.astype(jnp.float32))[:, None]
-        base = y0 * w + x0
-        g = lambda i: jnp.take(planes, i, axis=0)          # (P, 3) rows
-        out = (g(base) * (1 - fx) * (1 - fy) + g(base + 1) * fx * (1 - fy)
-               + g(base + w) * (1 - fx) * fy
-               + g(base + w + 1) * fx * fy)
+        # shared stacked-plane gather (single owner of border semantics)
+        from ..ops.warp import bilinear_sample_rows
+        out = bilinear_sample_rows(planes, h, w, q[:, 0], q[:, 1])
         return out[:, 0], out[:, 1], out[:, 2]
 
     def seg(per_pixel, wgt):

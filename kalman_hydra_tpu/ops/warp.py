@@ -80,3 +80,32 @@ def sample_flow_with_grad(flow: jnp.ndarray, pts: jnp.ndarray):
     jy = bilinear_sample(dy, x, y).T
     jac = jnp.stack([jx, jy], axis=-1)  # (K, 2 flow-comp, 2 spatial)
     return vals, jac
+
+
+def bilinear_sample_rows(planes: jnp.ndarray, h: int, w: int,
+                         x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sampling of row-stacked planes: `planes` is (H*W, C) — C
+    image planes flattened row-major and stacked on the last axis — so the
+    four bilinear corners cost ONE row-gather each instead of C separate
+    gathers (TPU gathers are per-index bound; payload width is nearly
+    free — BASELINE.md warp shootout). Border: clamp.
+
+    x, y: float query coordinates of any (matching) shape.
+    Returns (*query_shape, C) samples. Single owner of the stacked-plane
+    border/clamp semantics for the photometric and render channels.
+    """
+    c = planes.shape[-1]
+    x = jnp.clip(x, 0.0, w - 1.0)
+    y = jnp.clip(y, 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(x), 0, w - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, h - 2).astype(jnp.int32)
+    fx = (x - x0.astype(jnp.float32))[..., None]
+    fy = (y - y0.astype(jnp.float32))[..., None]
+    base = y0 * w + x0
+
+    def g(i):
+        return jnp.take(planes, i.reshape(-1), axis=0).reshape(
+            i.shape + (c,))
+
+    return (g(base) * (1 - fx) * (1 - fy) + g(base + 1) * fx * (1 - fy)
+            + g(base + w) * (1 - fx) * fy + g(base + w + 1) * fx * fy)
