@@ -242,6 +242,20 @@ class RunConfig:
     tracks: TrackConfig = TrackConfig()
     smooth: SmoothConfig = SmoothConfig()
     impl: str = "xla"           # "xla" | "pallas" kernel backend
+    pair_batch: bool = False    # cold-mode pair-batched pipeline: dense
+                                # flow for EVERY frame pair of the clip is
+                                # computed up front in SHARED batched
+                                # kernel launches (grid (pairs, tiles) —
+                                # kernels/flow_iter_pallas.flow_iter_pairs)
+                                # before one EKF/lifecycle scan over the
+                                # precomputed fields. Amortizes the
+                                # per-launch floor (BASELINE.md round-3
+                                # session-3) across the clip; trajectory
+                                # semantics match the per-frame scan.
+                                # Requires a dense flow method, a
+                                # flow-driven measurement model, and
+                                # temporal_init=False (warm start is
+                                # sequential by construction).
     pallas_interpret: bool = False  # run Pallas kernels in interpret mode
                                     # (CPU test knob: lets the full pipeline
                                     # + sharding tests exercise impl="pallas"
@@ -272,6 +286,21 @@ class RunConfig:
                 "ekf.measurement='render'/'flow_render' tracks mesh "
                 "vertices whose identity the RenderTemplate fixes; set "
                 "tracks.reinit=False (re-mesh via models.mesh instead)")
+        if self.pair_batch:
+            if self.flow.method not in ("farneback", "lk_dense"):
+                raise ValueError(
+                    "pair_batch precomputes DENSE flow for all pairs; "
+                    f"flow.method={self.flow.method!r} is unsupported")
+            if self.flow.temporal_init:
+                raise ValueError(
+                    "pair_batch requires temporal_init=False: the warm "
+                    "start chains pairs sequentially, which is exactly "
+                    "the dependency pair batching removes")
+            if self.ekf.measurement not in ("position", "implicit_flow"):
+                raise ValueError(
+                    "pair_batch supports flow-driven measurements only "
+                    "(position / implicit_flow); "
+                    f"got {self.ekf.measurement!r}")
         if self.flow.method == "lk_sparse" and self.tracks.init_velocity:
             # init_velocity samples a DENSE frame0->1 flow field at the
             # seeds; with lk_sparse it would crash inside jit tracing
@@ -312,7 +341,8 @@ class RunConfig:
             tracks=TrackConfig(**raw.get("tracks", {})),
             smooth=SmoothConfig(**raw.get("smooth", {})),
             **{k: v for k, v in raw.items()
-               if k in ("impl", "pallas_interpret", "dtype", "data_axis")},
+               if k in ("impl", "pallas_interpret", "dtype", "data_axis",
+                        "pair_batch")},
         )
 
     def replace(self, **kw) -> "RunConfig":

@@ -535,6 +535,286 @@ def fi_geometry(h: int, w: int, winsize: int, max_disp: int,
     return th, h_pad, rows, extra, wp, hb, bw
 
 
+def _flow_iter_pairs_kernel(th: int, w: int, h: int, bw: int, D: int,
+                            rows: int, weights, shift_skip, box_stacked,
+                            ppc: int, r_hbm, fl_hbm, out_ref,
+                            r0_s, r1_s, fl_s, sem, *accs):
+    """Pair-batched fused Farneback iteration: grid (B, n_tiles).
+
+    B independent frame pairs share ONE kernel launch — the per-launch
+    floor (0.57-0.60 ms/iter at 1080p, ~4.4x the byte roofline;
+    BASELINE.md round-3 session-3) amortizes across the whole batch.
+    Pair b reads its R0/R1 plane slabs from rows p and p+1 of a SINGLE
+    (N, 5, H, W) HBM stack, where p = b + b // ppc when `ppc` (pairs per
+    clip) chains multiple clips' frames end to end, else p = b —
+    consecutive pairs of a clip share each frame's planes in HBM with no
+    duplication. The double-buffered slab pipeline runs over the LINEAR
+    step index s = b * n_tiles + i, so the tile-(b, i+1) / pair-(b+1)
+    DMAs overlap this step's compute exactly as in the single-pair
+    kernel. Per-pair math is identical to _flow_iter_kernel (shift_skip
+    and box_stacked variants only; the rejected vbox/bf16/border_v2
+    branches are not carried here)."""
+    if shift_skip:
+        vacc, racc = accs
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nt = pl.num_programs(1)
+    s = b * nt + i
+    hb = bw + D
+    mrows = th + 2 * bw
+
+    def frame_of(bb):
+        if ppc > 0:
+            return bb + bb // ppc
+        return bb
+
+    def copies(bb, step, slot):
+        p = frame_of(bb)
+        return [
+            pltpu.make_async_copy(
+                r_hbm.at[p, :, pl.ds(step * th, rows), :],
+                r0_s.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(
+                r_hbm.at[p + 1, :, pl.ds(step * th, rows), :],
+                r1_s.at[slot], sem.at[slot, 1]),
+            pltpu.make_async_copy(
+                fl_hbm.at[bb, :, pl.ds(step * th, rows), :],
+                fl_s.at[slot], sem.at[slot, 2]),
+        ]
+
+    @pl.when(s == 0)
+    def _start_first():
+        for c in copies(0, 0, 0):
+            c.start()
+
+    @pl.when(s + 1 < nb * nt)
+    def _prefetch_next():
+        s1 = s + 1
+        for c in copies(s1 // nt, s1 % nt, s1 % 2):
+            c.start()
+
+    slot = s % 2
+    for c in copies(b, i, slot):
+        c.wait()
+
+    r0_sl = r0_s[slot]
+    r1_sl = r1_s[slot]
+    wp = r0_s.shape[3]
+    base = hb - bw
+    mcols = w + 2 * bw
+    R1 = r1_sl.astype(jnp.float32)
+    wdt = R1.dtype
+    flm = fl_s[slot, :, D:D + mrows, :].astype(jnp.float32)
+    dx = flm[0]
+    dy = flm[1]
+
+    # ---- in-VMEM select-sum bilinear warp of R1 by (dx, dy) ----
+    dxc = jnp.clip(dx, -D, D)
+    dyc = jnp.clip(dy, -D, D)
+    y_idx = jnp.floor(dyc).astype(jnp.int32)
+    x_idx = jnp.floor(dxc).astype(jnp.int32)
+    ay = (dyc - y_idx.astype(jnp.float32))[None]
+    ax = (dxc - x_idx.astype(jnp.float32))[None]
+    ay2 = ay[0]
+    xm = x_idx[:, base:base + mcols]
+    axm2 = ax[0, :, base:base + mcols]
+
+    if shift_skip:
+        ymin = jnp.min(y_idx[:, :w + 2 * hb])
+        ymax = jnp.max(y_idx[:, :w + 2 * hb])
+        vacc[...] = jnp.zeros_like(vacc)
+        for j in range(2 * D + 2):
+            @pl.when((j >= ymin + D) & (j <= ymax + D + 1))
+            def _vterm(j=j):
+                wj = jnp.where(y_idx == (j - D), 1.0 - ay2, 0.0)
+                if j >= 1:
+                    wj = wj + jnp.where(y_idx == (j - 1 - D), ay2, 0.0)
+                vacc[...] += wj.astype(wdt)[None] * R1[:, j:j + mrows, :]
+        v = vacc[...]
+        xmin = jnp.min(xm)
+        xmax = jnp.max(xm)
+        racc[...] = jnp.zeros_like(racc)
+        for j in range(2 * D + 2):
+            sh = j - D
+
+            @pl.when((j >= xmin + D) & (j <= xmax + D + 1))
+            def _hterm(j=j, sh=sh):
+                wj = jnp.where(xm == sh, 1.0 - axm2, 0.0)
+                if j >= 1:
+                    wj = wj + jnp.where(xm == sh - 1, axm2, 0.0)
+                racc[...] += (wj.astype(wdt)[None]
+                              * v[:, :, base + sh:base + sh + mcols])
+        R1w = racc[...]
+    else:
+        v = None
+        for j in range(2 * D + 2):
+            wj = jnp.where(y_idx == (j - D), 1.0 - ay2, 0.0)
+            if j >= 1:
+                wj = wj + jnp.where(y_idx == (j - 1 - D), ay2, 0.0)
+            t = wj.astype(wdt)[None] * R1[:, j:j + mrows, :]
+            v = t if v is None else v + t
+        R1w = None
+        for j in range(2 * D + 2):
+            sh = j - D
+            wj = jnp.where(xm == sh, 1.0 - axm2, 0.0)
+            if j >= 1:
+                wj = wj + jnp.where(xm == sh - 1, axm2, 0.0)
+            t = (wj.astype(wdt)[None]
+                 * v[:, :, base + sh:base + sh + mcols])
+            R1w = t if R1w is None else R1w + t
+
+    # ---- averaged-matrix normal equations (update_matrices_p) ----
+    R1w = R1w.astype(jnp.float32)
+    R0 = r0_sl[:, D:D + mrows, hb - bw:hb - bw + w + 2 * bw].astype(
+        jnp.float32)
+    dxm = dx[:, hb - bw:hb - bw + w + 2 * bw]
+    dym = dy[:, hb - bw:hb - bw + w + 2 * bw]
+    a_xx = (R0[2] + R1w[2]) * 0.5
+    a_yy = (R0[3] + R1w[3]) * 0.5
+    axy = (R0[4] + R1w[4]) * 0.25
+    db_x = (R0[0] - R1w[0]) * 0.5 + a_xx * dxm + axy * dym
+    db_y = (R0[1] - R1w[1]) * 0.5 + axy * dxm + a_yy * dym
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 0) \
+        + i * th - bw
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 1) - bw
+    damp = _damp_vec(row_ids[:, 0:1], h) * _damp_vec(col_ids[0:1, :], w)
+    a_xx = a_xx * damp
+    a_yy = a_yy * damp
+    axy = axy * damp
+    db_x = db_x * damp
+    db_y = db_y * damp
+
+    m0 = a_xx * a_xx + axy * axy
+    m1 = (a_xx + a_yy) * axy
+    m2 = a_yy * a_yy + axy * axy
+    m3 = a_xx * db_x + axy * db_y
+    m4 = axy * db_x + a_yy * db_y
+
+    # ---- replicate M at the IMAGE borders (XLA parity) ----
+    ir = row_ids[:, 0:1]
+    ic = col_ids[0:1, :]
+    top_sel = (ir == 0)
+    bot_sel = (ir == h - 1)
+
+    def row_fix(ms):
+        out = []
+        for m in ms:
+            top_row = jnp.sum(jnp.where(top_sel, m, 0.0), axis=0,
+                              keepdims=True)
+            bot_row = jnp.sum(jnp.where(bot_sel, m, 0.0), axis=0,
+                              keepdims=True)
+            m = jnp.where(ir < 0, top_row, m)
+            m = jnp.where(ir > h - 1, bot_row, m)
+            out.append(m)
+        return tuple(out)
+
+    tile_lo = i * th - bw
+    at_border = (tile_lo < 0) | (tile_lo + mrows > h)
+    m0, m1, m2, m3, m4 = jax.lax.cond(at_border, row_fix,
+                                      lambda ms: ms, (m0, m1, m2, m3, m4))
+
+    def col_fix(m):
+        m = jnp.where(ic < 0, m[:, bw:bw + 1], m)
+        m = jnp.where(ic > w - 1, m[:, w + bw - 1:w + bw], m)
+        return m
+
+    m0, m1, m2, m3, m4 = (col_fix(m) for m in (m0, m1, m2, m3, m4))
+    return _box_solve(th, w, bw, weights, False, False, frozenset(),
+                      out_ref.at[0], (m0, m1, m2, m3, m4),
+                      box_stacked=box_stacked)
+
+
+@functools.partial(jax.jit, static_argnames=("winsize", "max_disp",
+                                             "gaussian", "tile_h",
+                                             "interpret", "shift_skip",
+                                             "box_stacked", "img_hw",
+                                             "clip_len"))
+def flow_iter_pairs(Rall: jnp.ndarray, flow_b: jnp.ndarray,
+                    winsize: int, max_disp: int, img_hw,
+                    gaussian: bool = False, tile_h: int = 0,
+                    shift_skip: bool = True, box_stacked: bool = False,
+                    clip_len: int = 0,
+                    interpret: bool = False) -> jnp.ndarray:
+    """One fused Farneback iteration for B independent frame pairs in ONE
+    launch (grid (B, n_tiles)) — the launch-amortization lever of
+    BASELINE.md round-3 session-3.
+
+    Rall: (N, 5, Hp, Wp) polyexp plane stacks for N frames, PRE-PADDED by
+    prep_planes (vmapped) into the slab layout for img_hw = (h, w).
+    flow_b: (B, 2, h, w) prior ABSOLUTE flows, one per pair. Pair b uses
+    frames (p, p+1) with p = b (single clip, B = N - 1) or
+    p = b + b // (clip_len - 1) when `clip_len` = T chains C clips'
+    frames as N = C * T (B = C * (T - 1)).
+    Returns (B, 2, h, w) new flows. Per-pair numerics identical to
+    flow_iter(shift_skip=..., box_stacked=...).
+    """
+    h, w = img_hw
+    D = int(max_disp)
+    B = flow_b.shape[0]
+    N = Rall.shape[0]
+    ppc = 0
+    if clip_len:
+        ppc = clip_len - 1
+        if B != (N // clip_len) * ppc:
+            raise ValueError(f"clip_len={clip_len}: expected "
+                             f"{(N // clip_len) * ppc} pairs, got {B}")
+    elif B != N - 1:
+        raise ValueError(f"expected B = N - 1 = {N - 1} pairs, got {B}")
+    if gaussian:
+        kern = gaussian_kernel(2 * (winsize // 2) + 1,
+                               (winsize // 2) * 0.3).astype(np.float64)
+        weights = tuple(np.float32(v) for v in kern)
+    elif (2 * (winsize // 2) + 1) % 3 == 0:
+        weights = None
+    else:
+        kern = np.full(2 * (winsize // 2) + 1,
+                       1.0 / (2 * (winsize // 2) + 1), dtype=np.float64)
+        weights = tuple(np.float32(v) for v in kern)
+
+    th, h_pad, rows, extra, wp, hb, bw = fi_geometry(
+        h, w, winsize, max_disp, tile_h, Rall.dtype.itemsize)
+    if Rall.shape[2:] != (h_pad - h + extra + h + 2 * hb, wp):
+        raise ValueError(
+            f"pre-padded planes {Rall.shape} do not match fi_geometry for "
+            f"img_hw={img_hw}, tile_h={tile_h}")
+
+    def prep(x):
+        x = jnp.pad(x, ((0, 0), (hb, hb), (hb, hb)), mode="edge")
+        return jnp.pad(x, ((0, 0), (0, h_pad - h + extra),
+                           (0, wp - (w + 2 * hb))))
+
+    fl = jax.vmap(prep)(flow_b)
+
+    mrows = th + 2 * bw
+    scratch = [
+        pltpu.VMEM((2, 5, rows, wp), Rall.dtype),
+        pltpu.VMEM((2, 5, rows, wp), Rall.dtype),
+        pltpu.VMEM((2, 2, rows, wp), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 3)),
+    ]
+    if shift_skip:
+        scratch += [pltpu.VMEM((5, mrows, wp), jnp.float32),
+                    pltpu.VMEM((5, mrows, w + 2 * bw), jnp.float32)]
+
+    out = pl.pallas_call(
+        functools.partial(_flow_iter_pairs_kernel, th, w, h, bw, D, rows,
+                          weights, shift_skip, box_stacked, ppc),
+        grid=(B, h_pad // th),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec((1, 2, th, w), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 2, h_pad, w), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(Rall, fl)
+    return out[:, :, :h, :]
+
+
 @functools.partial(jax.jit, static_argnames=("winsize", "max_disp",
                                              "tile_h"))
 def prep_planes(R: jnp.ndarray, winsize: int, max_disp: int,

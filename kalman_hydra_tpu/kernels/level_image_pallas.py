@@ -214,6 +214,74 @@ def coarse_polyexp_fused(img: jnp.ndarray, levels: int, pyr_scale: float,
     return list(outs)
 
 
+def _levels_polyexp_batch_kernel(nlev: int, n: int, taps, igs, out_dtype,
+                                 img_ref, *refs):
+    """Frame-batched twin: grid (N,); img/out blocks carry a leading
+    batch axis of 1, the band matrices are shared across frames."""
+    vs = refs[:nlev]
+    hs = refs[nlev:2 * nlev]
+    outs = refs[2 * nlev:]
+    _levels_polyexp_kernel(nlev, n, taps, igs, out_dtype,
+                           img_ref.at[0], *vs, *hs,
+                           *[o.at[0] for o in outs])
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "pyr_scale",
+                                             "poly_n", "poly_sigma",
+                                             "out_dtype", "interpret"))
+def coarse_polyexp_fused_batch(imgs: jnp.ndarray, levels: int,
+                               pyr_scale: float, poly_n: int,
+                               poly_sigma: float, out_dtype=jnp.float32,
+                               interpret: bool = False):
+    """coarse_polyexp_fused for a (N, H, W) frame stack in ONE launch
+    (grid (N,)): per-frame numerics identical; N frames share the band
+    matrices and the launch cost (flow_iter_pairs rationale). Returns a
+    list of (N, 5, lh, lw) arrays aligned with the coarse plan entries."""
+    from ..ops.farneback import _poly_inv_gram
+    nB, h, w = imgs.shape
+    n = poly_n
+    g, ig11, ig03, ig33, ig55 = _poly_inv_gram(n, float(poly_sigma))
+    i = np.arange(-n, n + 1, dtype=np.float32)
+    taps = (tuple(np.float32(v) for v in g),
+            tuple(np.float32(v) for v in (i * g)),
+            tuple(np.float32(v) for v in (i * i * g)))
+    igs = (float(ig11), float(ig03), float(ig33), float(ig55))
+
+    plan = farneback_levels(h, w, levels, pyr_scale)
+    mats = _band_mats_padded(h, w, levels, float(pyr_scale), n)
+    coarse = [(lh, lw) for (k, lh, lw, _s, _ks) in plan if k != 0]
+    if not coarse:
+        return []
+    vs = [jnp.asarray(mats[i][0]) for i, p in enumerate(plan) if p[0] != 0]
+    hs = [jnp.asarray(mats[i][1]) for i, p in enumerate(plan) if p[0] != 0]
+    nl = len(coarse)
+    in_specs = [pl.BlockSpec((1, h, w), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [pl.BlockSpec(v.shape, lambda b: (0, 0),
+                              memory_space=pltpu.VMEM) for v in vs]
+    in_specs += [pl.BlockSpec(m.shape, lambda b: (0, 0),
+                              memory_space=pltpu.VMEM) for m in hs]
+    outs = pl.pallas_call(
+        functools.partial(_levels_polyexp_batch_kernel, nl, n, taps, igs,
+                          out_dtype),
+        grid=(nB,),
+        in_specs=in_specs,
+        out_specs=tuple(
+            pl.BlockSpec((1, 5, lh, lw), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for (lh, lw) in coarse),
+        out_shape=tuple(jax.ShapeDtypeStruct((nB, 5, lh, lw), out_dtype)
+                        for (lh, lw) in coarse),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(imgs.astype(jnp.float32), *vs, *hs)
+    if not isinstance(outs, (tuple, list)):
+        outs = (outs,)
+    return list(outs)
+
+
 def _levels_kernel(nlev: int, img_ref, *refs):
     # refs = V_1..V_n, HmT_1..HmT_n, out_1..out_n
     vs = refs[:nlev]

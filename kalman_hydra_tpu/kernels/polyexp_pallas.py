@@ -55,7 +55,15 @@ def _polyexp_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
     slot = i % 2
     copy(i, slot).wait()
     s = scratch[slot]                               # (th+2n, w_out+2n)
+    _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
+                vert_mxu, stacked, s, out_ref)
 
+
+def _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
+                vert_mxu, stacked, s, out_ref):
+    """Slab -> 5 coefficient planes (shared by the single-image and the
+    frame-batched kernels; `s` is the VMEM slab, `out_ref` the (5, th,
+    w_out) output block)."""
     taps = 2 * n + 1
     if stacked and not vert_mxu:
         # lane-stacked variant (same rationale as flow_iter box_stacked:
@@ -227,3 +235,86 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
         interpret=interpret,
     )(xp)
     return out[:, :h, :]
+
+
+def _polyexp_batch_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
+                          th: int, w_out: int, stacked: bool,
+                          in_hbm, out_ref, scratch, sem):
+    """Frame-batched twin of _polyexp_kernel: grid (N, n_tiles), one
+    launch covers every frame's expansion (launch amortization, same
+    rationale as flow_iter_pairs). Double-buffering runs over the linear
+    step s = b * n_tiles + i so the slab DMAs overlap compute across
+    frame boundaries too."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nt = pl.num_programs(1)
+    s = b * nt + i
+    rows_in = _round_up(th + 2 * n, 8)
+
+    def copy(bb, step, slot):
+        return pltpu.make_async_copy(
+            in_hbm.at[bb, pl.ds(step * th, rows_in), :], scratch.at[slot],
+            sem.at[slot])
+
+    @pl.when(s == 0)
+    def _first():
+        copy(0, 0, 0).start()
+
+    @pl.when(s + 1 < nb * nt)
+    def _prefetch():
+        s1 = s + 1
+        copy(s1 // nt, s1 % nt, s1 % 2).start()
+
+    slot = s % 2
+    copy(b, i, slot).wait()
+    _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
+                False, stacked, scratch[slot], out_ref.at[0])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("poly_n", "poly_sigma", "out_dtype",
+                                    "tile_h", "stacked", "interpret"))
+def poly_expansion_planar_batch(imgs: jnp.ndarray, poly_n: int,
+                                poly_sigma: float, out_dtype=jnp.float32,
+                                tile_h: int = 128, stacked: bool = False,
+                                interpret: bool = False) -> jnp.ndarray:
+    """(N, H, W) float32 frames -> (N, 5, H, W) coefficient planes in ONE
+    kernel launch (grid (N, n_tiles)); per-frame numerics identical to
+    poly_expansion_planar."""
+    nB, h, w = imgs.shape
+    n = poly_n
+    g, ig11, ig03, ig33, ig55 = _poly_inv_gram(n, float(poly_sigma))
+    i = np.arange(-n, n + 1, dtype=np.float32)
+    gt = tuple(np.float32(v) for v in g)
+    xg = tuple(np.float32(v) for v in (i * g))
+    xxg = tuple(np.float32(v) for v in (i * i * g))
+
+    align = 16 if jnp.dtype(out_dtype).itemsize < 4 else 8
+    th = min(_round_up(int(tile_h), align), _round_up(h, align))
+    h_pad = ((h + th - 1) // th) * th
+    rows_in = _round_up(th + 2 * n, 8)
+    wp = _round_up(w + 2 * n, 128)
+    xp = jnp.pad(imgs, ((0, 0), (n, n), (n, n)), mode="edge")
+    xp = jnp.pad(xp, ((0, 0), (0, h_pad - h + rows_in - (th + 2 * n)),
+                      (0, wp - (w + 2 * n))))
+
+    out = pl.pallas_call(
+        functools.partial(_polyexp_batch_kernel, n, gt, xg, xxg,
+                          float(ig11), float(ig03), float(ig33),
+                          float(ig55), th, w, stacked),
+        grid=(nB, h_pad // th),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, 5, th, w), lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nB, 5, h_pad, w), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows_in, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp)
+    return out[:, :, :h, :]

@@ -29,6 +29,7 @@ from functools import lru_cache
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -555,6 +556,93 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                                        fast_warp=cfg.fast_warp)
                 flow_p = update_flow_p(Mp, cfg.winsize, cfg.gaussian_win)
     return jnp.moveaxis(flow_p, 0, -1)
+
+
+def polyexp_pyramid_batch(grays: jnp.ndarray, cfg: FlowConfig,
+                          impl: str = "xla", interpret: bool = False):
+    """Per-level polyexp planes for a (N, H, W) frame stack, coarsest
+    first: tuple of (N, 5, lh, lw). The pair-batched pipeline's front end
+    — on the pallas path every frame shares ONE coarse-fused launch and
+    ONE full-res polyexp launch (kernels/{level_image,polyexp}_pallas
+    *_batch; launch amortization, BASELINE.md round-3 session-3).
+    Per-frame numerics identical to polyexp_pyramid."""
+    dt = jnp.bfloat16 if cfg.bf16_poly else jnp.float32
+    if impl == "pallas":
+        from ..kernels.level_image_pallas import coarse_polyexp_fused_batch
+        from ..kernels.polyexp_pallas import poly_expansion_planar_batch
+        from .pyramid import gaussian_blur_level
+        coarse = coarse_polyexp_fused_batch(
+            grays, cfg.levels, cfg.pyr_scale, cfg.poly_n, cfg.poly_sigma,
+            out_dtype=dt, interpret=interpret)
+        img0 = gaussian_blur_level(grays.astype(jnp.float32), cfg, k=0)
+        fine = poly_expansion_planar_batch(
+            img0, cfg.poly_n, cfg.poly_sigma, out_dtype=dt,
+            interpret=interpret)
+        return tuple(coarse) + (fine,)
+    imgs = farneback_images(grays, cfg.levels, cfg.pyr_scale)
+    pe = jax.vmap(lambda im: poly_expansion_p(im, cfg.poly_n,
+                                              cfg.poly_sigma))
+    return tuple(pe(i).astype(dt) for i in imgs)
+
+
+def farneback_pairs_from_pyramids(Rs_all, cfg: FlowConfig,
+                                  clip_len: int = 0, impl: str = "xla",
+                                  interpret: bool = False) -> jnp.ndarray:
+    """Cold Farneback flow for ALL consecutive frame pairs of a clip (or
+    of several chained clips) from batched polyexp pyramids.
+
+    Rs_all: tuple per level (coarsest first) of (N, 5, lh, lw) plane
+    stacks for N frames. Pair b uses frames (p, p+1) with p = b, or
+    p = b + b // (clip_len - 1) when `clip_len` = T chains C clips as
+    N = C * T. Returns (B, H, W, 2) flows, per-pair identical to
+    farneback_from_pyramids (cold start, flow0=None).
+
+    impl="pallas": every iteration of a level is ONE flow_iter_pairs
+    launch shared by all B pairs — the launch-amortization path."""
+    N = Rs_all[0].shape[0]
+    if clip_len:
+        ppc = clip_len - 1
+        B = (N // clip_len) * ppc
+        pidx = np.arange(B) + np.arange(B) // ppc
+    else:
+        B = N - 1
+        pidx = np.arange(B)
+    if impl == "pallas" and cfg.fast_warp > 0:
+        from ..kernels.flow_iter_pallas import flow_iter_pairs, prep_planes
+    flow_b = None
+    for li in range(len(Rs_all)):
+        Rl = Rs_all[li]
+        lh, lw = Rl.shape[2], Rl.shape[3]
+        if flow_b is None:
+            flow_b = jnp.zeros((B, 2, lh, lw), jnp.float32)
+        else:
+            flow_b = jax.vmap(
+                lambda f: resize_linear(f, lh, lw))(flow_b) \
+                * (1.0 / cfg.pyr_scale)
+        if impl == "pallas" and cfg.fast_warp > 0:
+            import os as _os
+            _th_env = _os.environ.get("KH_FI_TH")
+            _sk_env = _os.environ.get("KH_FI_SKIP")
+            _th = int(_th_env) if _th_env is not None else cfg.fi_tile_h
+            _sk = (_sk_env == "1" if _sk_env is not None
+                   else cfg.fi_shift_skip)
+            Rlp = jax.vmap(lambda R: prep_planes(
+                R, cfg.winsize, cfg.fast_warp, tile_h=_th))(Rl)
+            for _ in range(cfg.iterations):
+                flow_b = flow_iter_pairs(
+                    Rlp, flow_b, cfg.winsize, cfg.fast_warp, (lh, lw),
+                    gaussian=cfg.gaussian_win, tile_h=_th,
+                    shift_skip=_sk, clip_len=clip_len,
+                    interpret=interpret)
+        else:
+            R0 = Rl[pidx]
+            R1 = Rl[pidx + 1]
+            for _ in range(cfg.iterations):
+                Mp = jax.vmap(lambda a, b, f: update_matrices_p(
+                    a, b, f, fast_warp=cfg.fast_warp))(R0, R1, flow_b)
+                flow_b = jax.vmap(lambda M: update_flow_p(
+                    M, cfg.winsize, cfg.gaussian_win))(Mp)
+    return jnp.moveaxis(flow_b, 1, -1)
 
 
 def farneback(prev: jnp.ndarray, nxt: jnp.ndarray, cfg: FlowConfig,

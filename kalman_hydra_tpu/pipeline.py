@@ -336,6 +336,8 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
     multi-clip vmap batch (BASELINE.json:10), and the sharded data-parallel
     path (BASELINE.json:11, parallel/mesh.py).
     """
+    if cfg.pair_batch:
+        return track_arrays_pairflow(frames, cfg, with_history, seeds)
     carry0 = init_from_frame(frames[0], cfg)
     if seeds is not None:
         # _replace keeps corner_cache/frame_idx so reinit_every>1 caching
@@ -351,17 +353,26 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
             lag_buf=_lag_buf_init(carry0.tracks, cfg.smooth.lag))
     step = make_step(cfg, render_tmpl=render_tmpl)
     carry, outs = lax.scan(step, carry0, frames[1:])
+    return _finalize_track_outputs(carry0.tracks, carry.lag_buf, outs,
+                                   cfg, with_history)
+
+
+def _finalize_track_outputs(state0: TrackState, final_lag_buf, outs,
+                            cfg: RunConfig, with_history: bool):
+    """Prepend the frame-0 row and run the configured smoother — the
+    output tail shared by the per-frame scan and the pair-batched
+    pipeline (their scans emit identical per-step dicts)."""
     # prepend the frame-0 row
     first = {
-        "pos": carry0.tracks.x[:, 0:2],
-        "alive": carry0.tracks.alive,
+        "pos": state0.x[:, 0:2],
+        "alive": state0.alive,
         "nis": jnp.zeros_like(outs["nis"][0]),
-        "track_id": carry0.tracks.track_id,
-        "x_filt": carry0.tracks.x,
-        "P_filt": carry0.tracks.P,
-        "x_pred": carry0.tracks.x,
-        "P_pred": carry0.tracks.P,
-        "smoothed_lag": carry0.tracks.x[:, 0:2],
+        "track_id": state0.track_id,
+        "x_filt": state0.x,
+        "P_filt": state0.P,
+        "x_pred": state0.x,
+        "P_pred": state0.P,
+        "smoothed_lag": state0.x[:, 0:2],
     }
     first = {k: first[k] for k in outs}
     outs = {k: jnp.concatenate([first[k][None], v], axis=0)
@@ -373,7 +384,7 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
         L = cfg.smooth.lag
         T = outs["pos"].shape[0]
         F = jnp.asarray(dynamics.transition(cfg.ekf))
-        xf, Pf, xp, Pp, tid_b, alive_b = carry.lag_buf
+        xf, Pf, xp, Pp, tid_b, alive_b = final_lag_buf
         brk = (tid_b[1:] != tid_b[:-1]) | ~alive_b[1:] | ~alive_b[:-1]
         xs_tail, _ = rts_smooth(F, xf, Pf, xp, Pp, breaks=brk)
         # window entry i <-> frame (T-1-L+i): frames 0..T-1-L come from
@@ -400,6 +411,136 @@ def track_arrays(frames, cfg: RunConfig, with_history: bool = False,
         outs = {k: v for k, v in outs.items()
                 if k in ("pos", "alive", "nis", "track_id", "smoothed")}
     return outs
+
+
+class FlowCarry(NamedTuple):
+    """Scan carry of the pair-batched pipeline: flow is precomputed, so
+    no frame/pyramid state rides along — just the filter pool and the
+    optional fixed-lag smoother window."""
+    tracks: TrackState
+    lag_buf: Tuple = ()
+
+
+def make_flow_scan_step(cfg: RunConfig):
+    """Per-frame EKF/lifecycle step over a PRECOMPUTED dense flow field
+    (+ the corner pool that frame would refresh/reuse): the pair-batched
+    pipeline's scan body. Same math and update order as make_step's
+    farneback branch — only the flow computation moved out of the scan."""
+    F = jnp.asarray(dynamics.transition(cfg.ekf))
+    Q = jnp.asarray(dynamics.process_noise(cfg.ekf))
+    R = jnp.asarray(cfg.ekf.r * np.eye(2, dtype=np.float32))
+    impl = _effective_impl(cfg)
+    interp = cfg.pallas_interpret
+
+    def step(carry: FlowCarry, inp):
+        if cfg.tracks.reinit:
+            flow, cpts, cscore = inp
+        else:
+            (flow,) = inp
+        h, w = flow.shape[0], flow.shape[1]
+        state, aux = ekf_step(carry.tracks, flow, cfg.ekf, F, Q, R,
+                              impl=impl, interpret=interp)
+        state = lifecycle.gate(state, aux["x_pred"], aux["P_pred"],
+                               aux["nis"], cfg.ekf)
+        state = lifecycle.kill_lost(state, cfg.ekf, h, w)
+        if cfg.tracks.reinit:
+            state = lifecycle.reseed(state, cpts, cscore, cfg.ekf,
+                                     cfg.tracks)
+        out = {
+            "pos": state.x[:, 0:2],
+            "alive": state.alive,
+            "nis": aux["nis"],
+            "track_id": state.track_id,
+            "x_filt": state.x,
+            "P_filt": state.P,
+            "x_pred": aux["x_pred"],
+            "P_pred": aux["P_pred"],
+        }
+        lag_buf = carry.lag_buf
+        if cfg.smooth.enabled and cfg.smooth.lag > 0:
+            from .models.rts import fixed_lag_smooth
+            lag_buf = _lag_buf_push(lag_buf, state, aux["x_pred"],
+                                    aux["P_pred"])
+            xs0, _Ps0 = fixed_lag_smooth(F, *lag_buf)
+            out["smoothed_lag"] = xs0[:, 0:2]
+        return FlowCarry(tracks=state, lag_buf=lag_buf), out
+
+    return step
+
+
+def _corner_pool_sequence(grays, cfg: RunConfig):
+    """Corner pools for scan steps t = 1..T-1 of the pair-batched
+    pipeline: exactly the pool make_step would hold at each step
+    (refreshed when t % reinit_every == 0, otherwise the most recent
+    refresh — frame 0's pool is init_from_frame's cache). The distinct
+    refresh frames are computed batched (vmapped Shi-Tomasi), then
+    gathered per step."""
+    T = grays.shape[0]
+    re = max(cfg.tracks.reinit_every, 1)
+    refresh = sorted({(t // re) * re for t in range(1, T)})
+    pools = jax.vmap(lambda g: _fresh_corner_pool(g, cfg))(
+        grays[np.asarray(refresh)])
+    pos = {f: i for i, f in enumerate(refresh)}
+    sel = np.asarray([pos[(t // re) * re] for t in range(1, T)])
+    return tuple(p[sel] for p in pools)          # each (T-1, ...)
+
+
+def track_arrays_pairflow(frames, cfg: RunConfig,
+                          with_history: bool = False,
+                          seeds: Optional[jnp.ndarray] = None):
+    """Pair-batched twin of track_arrays (RunConfig.pair_batch):
+
+      1. dense flow for EVERY consecutive frame pair, batched so all
+         pairs share each Pallas launch (ops.farneback
+         farneback_pairs_from_pyramids / kernels flow_iter_pairs) — the
+         launch-amortization lever of BASELINE.md round-3 session-3;
+      2. corner pools for the refresh frames, batched;
+      3. one EKF/lifecycle scan over the precomputed fields.
+
+    Trajectory semantics match track_arrays for cold dense-flow configs
+    (enforced by RunConfig validation; tested in
+    tests/integration/test_pairflow.py)."""
+    impl = _effective_impl(cfg)
+    grays = grayscale_u8(frames)
+    if cfg.flow.method == "farneback":
+        from .ops.farneback import (farneback_pairs_from_pyramids,
+                                    polyexp_pyramid_batch)
+        Rs = polyexp_pyramid_batch(grays, cfg.flow, impl=impl,
+                                   interpret=cfg.pallas_interpret)
+        flows = farneback_pairs_from_pyramids(
+            Rs, cfg.flow, impl=impl, interpret=cfg.pallas_interpret)
+    else:                                         # lk_dense
+        flows = jax.vmap(lambda a, b: lk_ops.lk_dense(a, b, cfg.flow))(
+            grays[:-1], grays[1:])
+
+    # ---- init (mirrors init_from_frame minus the flow pyramids) ----
+    gray0 = grays[0]
+    mask = None
+    if cfg.tracks.seed_in_body:
+        from .ops.segment import segment_body
+        mask = segment_body(gray0)
+    pts, score = corner_pool(gray0, cfg.tracks,
+                             pool_size=cfg.tracks.num_tracks, mask=mask)
+    state0 = init_tracks(cfg.ekf, pts, valid=score > 0)
+    if seeds is not None:
+        state0 = init_tracks(cfg.ekf, seeds)
+    if cfg.tracks.init_velocity:
+        from .ops.warp import sample_flow
+        v0 = sample_flow(flows[0], state0.x[:, 0:2]) / cfg.ekf.dt
+        state0 = state0._replace(x=state0.x.at[:, 2:4].set(v0))
+    lag_buf = (_lag_buf_init(state0, cfg.smooth.lag)
+               if cfg.smooth.enabled and cfg.smooth.lag > 0 else ())
+    carry0 = FlowCarry(tracks=state0, lag_buf=lag_buf)
+
+    if cfg.tracks.reinit:
+        cpts, cscore = _corner_pool_sequence(grays, cfg)
+        xs = (flows, cpts, cscore)
+    else:
+        xs = (flows,)
+    step = make_flow_scan_step(cfg)
+    carry, outs = lax.scan(step, carry0, xs)
+    return _finalize_track_outputs(carry0.tracks, carry.lag_buf, outs,
+                                   cfg, with_history)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "with_history"))
