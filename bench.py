@@ -37,10 +37,28 @@ CPU_BASELINE_1080P_FPS = 1.45  # BASELINE.md, measured on this container
 
 # round-3 measured defaults (BASELINE.md round-3 A/B table): tile-adaptive
 # shift skipping (exact) + 64-row flow_iter tiles + 4-frame corner-pool
-# refresh cadence. Each is overridable; values are read at trace time.
-os.environ.setdefault("KH_FI_SKIP", "1")
-os.environ.setdefault("KH_FI_TH", "64")
+# refresh cadence. The FlowConfig defaults encode the winners; the KH_*
+# env knobs below override the CONFIG FIELDS here in bench (the library
+# reads config only — fresh-process A/B sweeps via tools/headline_ab.py).
 os.environ.setdefault("KH_REINIT_EVERY", "4")
+
+
+def _env_flow_overrides(flow_kw):
+    """Map bench A/B env knobs onto FlowConfig field overrides."""
+    for env, field, parse in (
+            ("KH_FI_TH", "fi_tile_h", int),
+            ("KH_FI_SKIP", "fi_shift_skip", lambda v: v == "1"),
+            ("KH_FI_LEVEL", "fi_level_fused", lambda v: v == "1"),
+            ("KH_FI_JOINRS", "fi_join_rs", lambda v: v == "1"),
+            ("KH_FI_BOXSTACK", "fi_box_stacked", lambda v: v == "1"),
+            ("KH_PE_FUSED", "pe_fused", lambda v: v == "1"),
+            ("KH_PE_TH", "pe_tile_h", int),
+            ("KH_PE_STACK", "pe_stacked", lambda v: v == "1"),
+            ("KH_LK_BGATHER", "lk_blocked_gather", lambda v: v == "1")):
+        v = os.environ.get(env)
+        if v is not None:
+            flow_kw[field] = parse(v)
+    return flow_kw
 
 
 def log(*a):
@@ -138,30 +156,39 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
         # KH_BF16_POLY=0 for f32 planes, KH_BATCH=N for vmapped clips,
         # KH_LK_HALO=0 for exact per-iteration sparse-LK slices,
         # KH_LK_SOLVER=blockhalo|corr|corr_conv for the level-solver A/B
-        flow=FlowConfig(method=flow_method, fast_warp=fast_warp,
-                        bf16_poly=bf16 and flow_method == "farneback",
-                        # KH_DIAG_ITERS/KH_DIAG_LEVELS: DIAGNOSTIC-only
-                        # overrides for cost decomposition on the real
-                        # clip (changes cv2 semantics — never a default)
-                        iterations=(iterations if iterations is not None
-                                    else int(os.environ.get("KH_DIAG_ITERS",
-                                                            "3"))),
-                        levels=int(os.environ.get("KH_DIAG_LEVELS", "5")),
-                        # KH_TEMPORAL_INIT=1 (or the explicit param):
-                        # chain each pair's flow into the next pair's
-                        # coarsest level (cv2 OPTFLOW_USE_INITIAL_FLOW
-                        # chained over time). Pairs with fewer iterations:
-                        # warm-1 = 289 fps AND lower tracking error than
-                        # cold-3 (tools/temporal_ab.py, BASELINE.md r3).
-                        temporal_init=((temporal_init if temporal_init
-                                        is not None else
-                                        os.environ.get("KH_TEMPORAL_INIT",
-                                                       "0") == "1")
-                                       and flow_method == "farneback"),
-                        lk_block_halo=(lk_halo if flow_method == "lk_sparse"
-                                       else 0),
-                        lk_solver=(lk_solver if flow_method == "lk_sparse"
-                                   else "blockhalo")),
+        flow=FlowConfig(**_env_flow_overrides(dict(
+            method=flow_method, fast_warp=fast_warp,
+            bf16_poly=bf16 and flow_method == "farneback",
+            # KH_DIAG_ITERS/KH_DIAG_LEVELS: DIAGNOSTIC-only
+            # overrides for cost decomposition on the real
+            # clip (changes cv2 semantics — never a default)
+            iterations=(iterations if iterations is not None
+                        else int(os.environ.get("KH_DIAG_ITERS", "3"))),
+            levels=int(os.environ.get("KH_DIAG_LEVELS", "5")),
+            # KH_TEMPORAL_INIT=1 (or the explicit param):
+            # chain each pair's flow into the next pair's
+            # coarsest level (cv2 OPTFLOW_USE_INITIAL_FLOW
+            # chained over time). Pairs with fewer iterations:
+            # warm-1 = 289 fps AND lower tracking error than
+            # cold-3 (tools/temporal_ab.py, BASELINE.md r3).
+            temporal_init=((temporal_init if temporal_init
+                            is not None else
+                            os.environ.get("KH_TEMPORAL_INIT",
+                                           "0") == "1")
+                           and flow_method == "farneback"),
+            lk_block_halo=(lk_halo if flow_method == "lk_sparse"
+                           else 0),
+            lk_solver=(lk_solver if flow_method == "lk_sparse"
+                       else "blockhalo")))),
+        # KH_PAIR_BATCH=1: pair-batched pipeline — flow for all T-1 pairs
+        # in shared batched kernel launches before one EKF scan
+        # (RunConfig.pair_batch; amortizes the 0.57-0.60 ms/iter
+        # launch+DMA floor of BASELINE.md round-3 session-3). Cold
+        # dense-flow configs only (incompatible with temporal_init).
+        pair_batch=(os.environ.get("KH_PAIR_BATCH", "0") == "1"
+                    and flow_method in ("farneback", "lk_dense")
+                    and not (temporal_init or os.environ.get(
+                        "KH_TEMPORAL_INIT", "0") == "1")),
         ekf=EkfConfig(state_dim=state_dim),
         # KH_REINIT_EVERY=N: corner-pool refresh cadence (the pool is
         # cached in the scan carry between refreshes; gated re-seeding
@@ -173,8 +200,8 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
         impl=pick_impl())
     log(f"config: reinit_every={cfg.tracks.reinit_every} "
         f"fast_warp={fast_warp} bf16={cfg.flow.bf16_poly} "
-        f"fi_skip={os.environ.get('KH_FI_SKIP')} "
-        f"fi_th={os.environ.get('KH_FI_TH')} lk_solver={lk_solver}")
+        f"fi_skip={cfg.flow.fi_shift_skip} fi_th={cfg.flow.fi_tile_h} "
+        f"pair_batch={cfg.pair_batch} lk_solver={lk_solver}")
     frames, _truth = make_clip(t, h, w)
     frames_d = jnp.asarray(frames)
     # regular seed grid over the frame interior (num_tracks points)
@@ -452,6 +479,53 @@ def bench_render_channel(h=480, w=640, n_vertices=64):
     return fps
 
 
+def bench_render_matrix():
+    """--render mode: the mesh-render observation channel across scales,
+    headline row = 1080p with a V=256 segmentation-derived mesh (the
+    reference's actual operating regime — round-3 verdict missing #7 asked
+    for a reference-scale measurement, not just the 480p/V=64 extra)."""
+    rows = {}
+    for h, w, v, key in ((480, 640, 64, "fps_render_480p_v64"),
+                         (720, 1280, 128, "fps_render_720p_v128"),
+                         (1080, 1920, 256, "fps_render_1080p_v256")):
+        fps = _retry(lambda h=h, w=w, v=v: bench_render_channel(h, w, v))
+        rows[key] = round(fps, 3)
+    return rows
+
+
+def bench_flow_pixel_ekf(h=480, w=854, t=9):
+    """Config 2's ACTUAL contract (BASELINE.json:8): pyramidal dense
+    Farneback flow over a 480p clip + per-pixel EKF smoothing of the
+    flow field. `pipeline.flow_sequence(smooth=True)` runs the whole
+    thing as one jitted scan (models/pixel_ekf.py: closed-form scalar
+    2-state KF per pixel per component, innovation-gated)."""
+    import jax.numpy as jnp
+    from jax import lax
+    from kalman_hydra_tpu import pipeline as pl
+    from kalman_hydra_tpu.config import FlowConfig, RunConfig
+
+    cfg = RunConfig(
+        flow=FlowConfig(fast_warp=int(os.environ.get("KH_FAST_WARP", "8")),
+                        bf16_poly=os.environ.get("KH_BF16_POLY", "1") == "1"),
+        impl=os.environ.get("KH_IMPL", "xla"))
+    frames, _ = make_clip(t, h, w)
+    frames_d = jnp.asarray(frames)
+
+    def repeat_run(f, R):
+        def body(_i, acc):
+            flows = pl.flow_sequence(
+                f + (acc * 0).astype(f.dtype)[None, None, None],
+                cfg, smooth=True)
+            return acc + jnp.sum(flows[-1]) * 1e-6
+        return lax.fori_loop(0, R, body, jnp.float32(0.0))
+
+    med, extra = _measure_marginal(repeat_run, frames_d, repeats=5)
+    fps = (t - 1) / med
+    log(f"cfg2 flow+pixel-EKF {h}x{w} T={t}: median {med*1e3:.1f} ms/clip "
+        f"(spread {extra['fps_spread_pct']:.0f}%) => {fps:.2f} fps")
+    return fps, extra
+
+
 def _retry(fn, attempts=3, backoff=120):
     """The TPU relay sporadically reports UNAVAILABLE / worker restarts;
     retry with a cooldown rather than failing the round's benchmark."""
@@ -499,7 +573,17 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--sparse", action="store_true",
                     help="sparse pyrLK pipeline mode at 1080p (1024 tracks)")
+    ap.add_argument("--render", action="store_true",
+                    help="mesh-render channel across scales "
+                         "(headline: 1080p, V=256 mesh)")
     args = ap.parse_args()
+    if args.render:
+        rows = bench_render_matrix()
+        print(json.dumps({"metric": "fps_render_1080p_v256",
+                          "value": rows.get("fps_render_1080p_v256", 0.0),
+                          "unit": "frames/s/chip", "vs_baseline": None,
+                          **rows}), flush=True)
+        return
     if args.sparse:
         fps, sx = _retry(lambda: bench_fused_pipeline(
             1080, 1920, t=9, num_tracks=1024, flow_method="lk_sparse"))
@@ -597,7 +681,16 @@ def bench_config(n):
                                       state_dim=4, flow_method="lk_dense")
         return fps, bench_epe(256, 256), "fps_per_chip_cfg1_256p", None, x
     if n == 2:
+        # the tracked-pipeline number stays the headline `value`; the
+        # contract's per-pixel-EKF-inclusive workload (BASELINE.json:8)
+        # ships alongside it (round-3 verdict missing #3)
         fps, x = bench_fused_pipeline(480, 854, t=9, num_tracks=256)
+        try:
+            pfps, px = bench_flow_pixel_ekf(480, 854, t=9)
+            x["fps_cfg2_flow_pixel_ekf"] = round(pfps, 3)
+            x["flow_pixel_ekf_spread_pct"] = px["fps_spread_pct"]
+        except Exception as e:  # noqa: BLE001
+            log(f"cfg2 pixel-EKF stage skipped: {type(e).__name__}: {e}")
         return fps, bench_epe(256, 256), "fps_per_chip_cfg2_480p", 11.4, x
     if n == 3:
         fps, x = bench_fused_pipeline(720, 1280, t=9, num_tracks=1024)

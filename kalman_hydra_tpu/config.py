@@ -73,21 +73,36 @@ class FlowConfig:
                                # 74 -> 134 fps at 1080p/1k — the full-
                                # width row gather's ~300 MB intermediates
                                # dominated). False = full-width gather.
-                               # KH_LK_BGATHER overrides at trace time.
-    # --- Pallas flow_iter kernel tuning (impl="pallas" only; exact) ---
+    # --- Pallas kernel tuning (impl="pallas" only; all exact) ---
+    # These used to be KH_* env knobs read at trace time inside the ops;
+    # the config object now owns them (bench.py maps the env names here
+    # for fresh-process A/B sweeps).
     fi_tile_h: int = 64        # flow_iter row-tile height (0 = kernel
                                # default 32; 64 measured best at 1080p —
-                               # BASELINE.md round-3 table). KH_FI_TH
-                               # overrides at trace time.
+                               # BASELINE.md round-3 table).
     fi_shift_skip: bool = True  # tile-adaptive select-sum shift skipping
                                # (exact: skipped terms are identically
-                               # zero). KH_FI_SKIP overrides.
+                               # zero).
     fi_level_fused: bool = True  # coarse levels that fit VMEM run all
                                # iterations in ONE whole-level kernel
                                # launch (flow carry on-chip; hardware
                                # parity 1.4e-6; cfg2 480p 1130 -> 1270
-                               # fps). KH_FI_LEVEL overrides at trace
-                               # time.
+                               # fps).
+    fi_join_rs: bool = False   # both polyexp plane stacks ride ONE
+                               # (10, H, W) HBM array -> 2 slab DMAs per
+                               # grid step instead of 3 (A/B knob for the
+                               # launch+DMA floor; exact)
+    fi_box_stacked: bool = False  # all 5 M planes lane-concatenated
+                               # through the winsize box passes: 16
+                               # shifted adds instead of 80 (exact)
+    pe_fused: bool = True      # coarse-level polyexp fused into the
+                               # level-image kernel (no HBM round-trip
+                               # for coarse level images; +4 fps at
+                               # 1080p, BASELINE.md round-3 table)
+    pe_tile_h: int = 128       # polyexp kernel row-tile height
+    pe_stacked: bool = False   # lane-stacked polyexp tap passes (3x-wide
+                               # vertical FMA + weight-grouped horizontal
+                               # accumulators; bit-exact per lane)
     temporal_init: bool = False  # pipeline warm start: seed each frame
                                # pair's coarsest level with the PREVIOUS
                                # pair's flow (cv2 OPTFLOW_USE_INITIAL_FLOW
@@ -107,6 +122,8 @@ class FlowConfig:
             raise ValueError(f"unknown lk_solver {self.lk_solver!r}")
         if self.fi_tile_h < 0:
             raise ValueError("fi_tile_h must be >= 0 (0 = kernel default)")
+        if self.pe_tile_h <= 0:
+            raise ValueError("pe_tile_h must be > 0")
         if self.temporal_init and self.method != "farneback":
             raise ValueError("temporal_init chains Farneback's initial-"
                              "flow warm start (OPTFLOW_USE_INITIAL_FLOW); "

@@ -55,7 +55,6 @@ def _damp_vec(abs_idx, limit):
 
 def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                       rows: int, weights, has_row0, shift_skip,
-                      vbox_mxu, box_bf16, warp_bf16, border_v2,
                       box_stacked, join_rs, diag_skip, *refs):
     """Double-buffered slab pipeline: scratch slabs have a leading 2-slot
     axis; step i computes from slot i%2 while the DMAs for tile i+1 land
@@ -143,10 +142,9 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                                     base:base + w].astype(jnp.float32))
         out_ref[1, :, :] = fl_s[slot, 1, D:D + th, base:base + w]
         return
-    # warp_bf16: keep R1 in its (bf16) slab dtype and accumulate the
-    # select-sum warp in bf16 packed vregs; shift weights are built in
-    # f32 (exact lerp math) and cast once per executed term
-    R1 = r1_sl if warp_bf16 else r1_sl.astype(jnp.float32)
+    # warp accumulation stays f32 even for bf16 slabs (a bf16-accumulation
+    # variant measured -7.5% fps — BASELINE.md round-3 rejected ledger)
+    R1 = r1_sl.astype(jnp.float32)
     wdt = R1.dtype
     # flow at the M region (slab rows [D, D+mrows))
     flm = fl_s[slot, :, D:D + mrows, :].astype(jnp.float32)
@@ -250,67 +248,9 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
         db_x = (R0[0] - R1w[0]) * 0.5 + a_xx * dxm + axy * dym
         db_y = (R0[1] - R1w[1]) * 0.5 + axy * dxm + a_yy * dym
 
-    if border_v2 and not diag_skip:
-        # ---- border handling v2 (exact; scheduling-friendly) ----
-        # The 2-D damp factors through the M products:
-        #   m_k(damp*a, damp*db) = damp^2 * m_k(a, db),  damp = dr * dc
-        # so the COLUMN taper applies as a cheap (1, mcols) row-vector
-        # multiply on every tile, and the ROW taper becomes a dr^2
-        # post-product scale needed only on tiles within _BORDER rows of
-        # the image top/bottom — folded into the same rare lax.cond
-        # branch as the out-of-image row replication. Interior tiles
-        # (15 of 17 at 1080p/th=64) run no (mrows, mcols) iotas, no 2-D
-        # damp build, and no (mrows, 1) column-vector ops at all — the
-        # v1 formulation's every-tile cost was ~80% of the kernel
-        # (tools/fi_phase_ab.py knockouts, BASELINE.md round-3).
-        ic = jax.lax.broadcasted_iota(jnp.int32, (1, mcols), 1) - bw
-        dc = _damp_vec(ic, w)
-        a_xx = a_xx * dc
-        a_yy = a_yy * dc
-        axy = axy * dc
-        db_x = db_x * dc
-        db_y = db_y * dc
-
-        m0 = a_xx * a_xx + axy * axy
-        m1 = (a_xx + a_yy) * axy
-        m2 = a_yy * a_yy + axy * axy
-        m3 = a_xx * db_x + axy * db_y
-        m4 = axy * db_x + a_yy * db_y
-
-        # row taper (dr^2) + out-of-image row replication, UNGUARDED:
-        # for interior tiles these are exact no-ops (dr = 1, the ir
-        # selects never fire), and the sub-phase study showed a guarding
-        # lax.cond costs MORE than the guarded passes (its pipeline
-        # break beats the 5 x (mul + 2 reduce + 2 select) it saves —
-        # "nocond" KO, BASELINE.md round-3)
-        ir = jax.lax.broadcasted_iota(jnp.int32, (mrows, 1), 0) \
-            + i * th - bw + row0
-        dr = _damp_vec(ir, h)
-        dr2 = dr * dr
-        top_sel = (ir == 0)
-        bot_sel = (ir == h - 1)
-        fixed = []
-        for m in (m0, m1, m2, m3, m4):
-            m = m * dr2
-            top_row = jnp.sum(jnp.where(top_sel, m, 0.0), axis=0,
-                              keepdims=True)
-            bot_row = jnp.sum(jnp.where(bot_sel, m, 0.0), axis=0,
-                              keepdims=True)
-            m = jnp.where(ir < 0, top_row, m)
-            m = jnp.where(ir > h - 1, bot_row, m)
-            fixed.append(m)
-        m0, m1, m2, m3, m4 = fixed
-
-        def col_fix2(m):
-            m = jnp.where(ic < 0, m[:, bw:bw + 1], m)
-            m = jnp.where(ic > w - 1, m[:, w + bw - 1:w + bw], m)
-            return m
-
-        m0, m1, m2, m3, m4 = (col_fix2(m) for m in (m0, m1, m2, m3, m4))
-        return _box_solve(th, w, bw, weights, vbox_mxu, box_bf16,
-                          diag_skip, out_ref, (m0, m1, m2, m3, m4),
-                          box_stacked=box_stacked)
-
+    # (a "border_v2" reformulation — column taper as a row-vector multiply
+    # + guarded dr^2 row pass — was A/B'd here and measured neutral at
+    # bench level; BASELINE.md round-3 session-3 ledger)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 0) \
         + i * th - bw + row0
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 1) - bw
@@ -383,19 +323,22 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
             m0, m1, m2, m3, m4 = (col_fix(m)
                                   for m in (m0, m1, m2, m3, m4))
 
-    return _box_solve(th, w, bw, weights, vbox_mxu, box_bf16, diag_skip,
+    return _box_solve(th, w, bw, weights, diag_skip,
                       out_ref, (m0, m1, m2, m3, m4),
                       box_stacked=box_stacked)
 
 
-def _box_solve(th, w, bw, weights, vbox_mxu, box_bf16, diag_skip,
+def _box_solve(th, w, bw, weights, diag_skip,
                out_ref, ms_in, box_stacked=False):
-    """Separable winsize smoothing + 2x2 solve (shared kernel tail)."""
+    """Separable winsize smoothing + 2x2 solve (shared kernel tail).
+
+    (bf16 box accumulation and a banded-MXU vertical box were A/B'd here
+    and rejected on v5e — BASELINE.md round-3 ledger: KH_FI_BOXBF16 +1.2%
+    fps but 10x EPE; KH_FI_VBOX neutral, box passes are not the cost.)"""
     m0, m1, m2, m3, m4 = ms_in
     taps = 2 * bw + 1
     box_split = weights is None        # uniform box, 3xA factored
-    if (box_stacked and box_split and not vbox_mxu and not box_bf16
-            and not diag_skip):
+    if box_stacked and box_split and not diag_skip:
         # all 5 M planes concatenated on the LANE axis share every box
         # pass: 16 full-width shifted adds instead of 5 x 16 — same
         # FLOPs, 5x fewer scheduled ops (the kernel is Mosaic-
@@ -436,16 +379,6 @@ def _box_solve(th, w, bw, weights, vbox_mxu, box_bf16, diag_skip,
         out_ref[0, :, :] = (g22 * h1 - g12 * h2) * idet
         out_ref[1, :, :] = (g11 * h2 - g12 * h1) * idet
         return
-    Bv = None
-    if box_split and vbox_mxu:
-        # vertical box as ONE banded-matrix MXU contraction per plane:
-        # out[r] = sum_{j < taps} m[r + j] — the (th, mrows) 0/1 band
-        # matrix is built from iotas (no constant traffic) and the dot
-        # replaces 3 + taps//3 VPU passes over the full tile. The MXU is
-        # idle in this kernel otherwise; HIGHEST keeps f32 exactness.
-        ri = jax.lax.broadcasted_iota(jnp.int32, (th, mrows), 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (th, mrows), 1)
-        Bv = ((ci >= ri) & (ci < ri + taps)).astype(jnp.float32)
     ms = (m0, m1, m2, m3, m4)
     if "box" in diag_skip:
         # diagnostic knockout: center crop stands in for the smoothed M
@@ -455,32 +388,21 @@ def _box_solve(th, w, bw, weights, vbox_mxu, box_bf16, diag_skip,
         out_ref[0, :, :] = (g22 * h1 - g12 * h2) * idet
         out_ref[1, :, :] = (g11 * h2 - g12 * h1) * idet
         return
-    if box_bf16:
-        # bf16 box accumulation: the smoothing sums run on packed (16,128)
-        # bf16 vregs — half the vector-register traffic of the 5x16
-        # shifted-add passes. Mirrors the XLA path's bf16 M storage
-        # (~1e-3 px EPE impact, BASELINE.md); solve stays f32.
-        ms = tuple(m.astype(jnp.bfloat16) for m in ms)
     outs = []
     for m in ms:
         if box_split:
             a = taps // 3
             inv = 1.0 / taps
-            if Bv is not None:
-                vsum = jax.lax.dot(Bv, m,
-                                   precision=jax.lax.Precision.HIGHEST,
-                                   preferred_element_type=jnp.float32)
-            else:
-                # box(3a) = box3 then stride-3 box_a (exact regrouping):
-                # 3 + a shifted adds instead of 3a per axis
-                s3 = None
-                for k in range(3):
-                    t = m[k:k + th + taps - 3, :]
-                    s3 = t if s3 is None else s3 + t
-                vsum = None
-                for j in range(a):
-                    t = s3[3 * j:3 * j + th, :]
-                    vsum = t if vsum is None else vsum + t
+            # box(3a) = box3 then stride-3 box_a (exact regrouping):
+            # 3 + a shifted adds instead of 3a per axis
+            s3 = None
+            for k in range(3):
+                t = m[k:k + th + taps - 3, :]
+                s3 = t if s3 is None else s3 + t
+            vsum = None
+            for j in range(a):
+                t = s3[3 * j:3 * j + th, :]
+                vsum = t if vsum is None else vsum + t
             s3h = None
             for k in range(3):
                 t = vsum[:, k:k + w + taps - 3]
@@ -721,7 +643,7 @@ def _flow_iter_pairs_kernel(th: int, w: int, h: int, bw: int, D: int,
         return m
 
     m0, m1, m2, m3, m4 = (col_fix(m) for m in (m0, m1, m2, m3, m4))
-    return _box_solve(th, w, bw, weights, False, False, frozenset(),
+    return _box_solve(th, w, bw, weights, frozenset(),
                       out_ref.at[0], (m0, m1, m2, m3, m4),
                       box_stacked=box_stacked)
 
@@ -836,9 +758,7 @@ def prep_planes(R: jnp.ndarray, winsize: int, max_disp: int,
 @functools.partial(jax.jit, static_argnames=("winsize", "max_disp",
                                              "gaussian", "tile_h",
                                              "interpret", "img_h",
-                                             "shift_skip", "vbox_mxu",
-                                             "box_bf16", "warp_bf16",
-                                             "border_v2", "img_hw",
+                                             "shift_skip", "img_hw",
                                              "box_stacked",
                                              "diag_skip"))
 def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
@@ -846,10 +766,6 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               tile_h: int = 0, interpret: bool = False,
               row0=None, img_h: int = 0,
               shift_skip: bool = False,
-              vbox_mxu: bool = False,
-              box_bf16: bool = False,
-              warp_bf16: bool = False,
-              border_v2: bool = False,
               img_hw=None,
               box_stacked: bool = False,
               diag_skip: str = "") -> jnp.ndarray:
@@ -948,10 +864,8 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
             pltpu.SemaphoreType.DMA((2, 3)),
         ]
     if shift_skip:
-        # in join mode R1 rides inside R0p; both share its dtype
-        acc_dt = R0p.dtype if warp_bf16 else jnp.float32
-        scratch += [pltpu.VMEM((5, mrows, wp), acc_dt),
-                    pltpu.VMEM((5, mrows, w + 2 * bw), acc_dt)]
+        scratch += [pltpu.VMEM((5, mrows, wp), jnp.float32),
+                    pltpu.VMEM((5, mrows, w + 2 * bw), jnp.float32)]
 
     # diag_skip: comma-separated phase knockouts for perf decomposition
     # ("dma", "warp", "m", "border", "box", "solve") — WRONG OUTPUTS by
@@ -960,8 +874,7 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
     dsk = frozenset(t for t in diag_skip.split(",") if t)
     out = pl.pallas_call(
         functools.partial(_flow_iter_kernel, th, w, hg, bw, D, rows,
-                          weights, has_row0, shift_skip, vbox_mxu,
-                          box_bf16, warp_bf16, border_v2,
+                          weights, has_row0, shift_skip,
                           box_stacked, join_rs, dsk),
         grid=(h_pad // th,),
         in_specs=in_specs,

@@ -28,7 +28,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _polyexp_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
-                    th: int, w_out: int, vert_mxu: bool, stacked: bool,
+                    th: int, w_out: int, stacked: bool,
                     in_hbm, out_ref, scratch, sem):
     """Double-buffered slab pipeline (same pattern as flow_iter): scratch
     has a 2-slot leading axis; step i computes from slot i%2 while the
@@ -56,16 +56,16 @@ def _polyexp_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
     copy(i, slot).wait()
     s = scratch[slot]                               # (th+2n, w_out+2n)
     _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
-                vert_mxu, stacked, s, out_ref)
+                stacked, s, out_ref)
 
 
 def _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
-                vert_mxu, stacked, s, out_ref):
+                stacked, s, out_ref):
     """Slab -> 5 coefficient planes (shared by the single-image and the
     frame-batched kernels; `s` is the VMEM slab, `out_ref` the (5, th,
     w_out) output block)."""
     taps = 2 * n + 1
-    if stacked and not vert_mxu:
+    if stacked:
         # lane-stacked variant (same rationale as flow_iter box_stacked:
         # the kernel is Mosaic-SCHEDULING bound, so fewer, wider VPU
         # passes win even at identical FLOPs; every lane keeps the planar
@@ -110,39 +110,17 @@ def _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
         out_ref[3, :, :] = (m00 * ig03 + m02 * ig33).astype(dt)
         out_ref[4, :, :] = (m11 * ig55).astype(dt)
         return
-    if vert_mxu:
-        # all three vertical correlations as ONE banded-matrix MXU
-        # contraction: rows [c*th, (c+1)*th) of B hold channel c's taps
-        # (g / xg / xxg) on the band  B[c*th + r, r + k] = w_c[k]  — the
-        # (3*th, rows_in) @ (rows_in, wp) dot replaces 3*taps VPU passes.
-        # HIGHEST keeps f32 accuracy (operands round to bf16 by default);
-        # summation order differs from the tap loop, so this variant is
-        # ~1e-6-relative (NOT bit-exact) vs the XLA twin.
-        ri = jax.lax.broadcasted_iota(jnp.int32, (3 * th, rows_in), 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (3 * th, rows_in), 1)
-        chan = ri // th
-        d = ci - (ri % th)
-        B = jnp.zeros((3 * th, rows_in), jnp.float32)
-        for k in range(taps):
-            wk = jnp.where(chan == 0, jnp.float32(g[k]),
-                           jnp.where(chan == 1, jnp.float32(xg[k]),
-                                     jnp.float32(xxg[k])))
-            B = jnp.where(d == k, wk, B)
-        v = jax.lax.dot(B, s, precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-        v0 = v[0:th, :]
-        v1 = v[th:2 * th, :]
-        v2 = v[2 * th:3 * th, :]
-    else:
-        v0 = v1 = v2 = None
-        for k in range(taps):
-            row = s[k:k + th, :]
-            t0 = g[k] * row
-            t1 = xg[k] * row
-            t2 = xxg[k] * row
-            v0 = t0 if v0 is None else v0 + t0
-            v1 = t1 if v1 is None else v1 + t1
-            v2 = t2 if v2 is None else v2 + t2
+    # (a banded-MXU vertical-tap variant was A/B'd here and measured
+    # neutral on v5e — BASELINE.md round-3 "rejected" ledger, KH_PE_VMXU)
+    v0 = v1 = v2 = None
+    for k in range(taps):
+        row = s[k:k + th, :]
+        t0 = g[k] * row
+        t1 = xg[k] * row
+        t2 = xxg[k] * row
+        v0 = t0 if v0 is None else v0 + t0
+        v1 = t1 if v1 is None else v1 + t1
+        v2 = t2 if v2 is None else v2 + t2
 
     m00 = m10 = m20 = m01 = m11 = m02 = None
     for k in range(taps):
@@ -172,9 +150,10 @@ def _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
 
 @functools.partial(jax.jit,
                    static_argnames=("poly_n", "poly_sigma", "out_dtype",
-                                    "interpret"))
+                                    "tile_h", "stacked", "interpret"))
 def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
                           out_dtype=jnp.float32,
+                          tile_h: int = 128, stacked: bool = False,
                           interpret: bool = False) -> jnp.ndarray:
     """(H, W) float32 -> (5, H, W) coefficient planes
     [b_x, b_y, a_xx, a_yy, axy]; same math/channels as
@@ -195,20 +174,11 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
 
     # bf16 outputs pack (16, 128) register tiles: the out-block sublane
     # extent must honor that alignment.
-    # KH_PE_TH is read at JIT TRACE time (same caveat as KH_FI_TH in
-    # ops/farneback.py): later changes in the same process are ignored.
-    import os as _os
     align = 16 if jnp.dtype(out_dtype).itemsize < 4 else 8
-    # round the knob UP to the sublane alignment (same policy as
-    # fi_geometry's KH_FI_TH): a misaligned tile height makes the i*th
-    # DMA offsets tile-unaligned, which Mosaic rejects on hardware ONLY
-    th = min(_round_up(int(_os.environ.get("KH_PE_TH", "128")), align),
-             _round_up(h, align))
-    # KH_PE_VMXU=1: vertical taps as a banded MXU contraction (A/B knob,
-    # trace-time; ~1e-6-relative vs the tap loop — see kernel docstring)
-    vert_mxu = _os.environ.get("KH_PE_VMXU", "0") == "1"
-    # KH_PE_STACK=1: lane-stacked tap passes (bit-exact; trace-time knob)
-    stacked = _os.environ.get("KH_PE_STACK", "0") == "1"
+    # round tile_h UP to the sublane alignment (same policy as
+    # fi_geometry): a misaligned tile height makes the i*th DMA offsets
+    # tile-unaligned, which Mosaic rejects on hardware ONLY
+    th = min(_round_up(int(tile_h), align), _round_up(h, align))
     h_pad = ((h + th - 1) // th) * th
     rows_in = _round_up(th + 2 * n, 8)
     wp = _round_up(w + 2 * n, 128)
@@ -219,7 +189,7 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
     out = pl.pallas_call(
         functools.partial(_polyexp_kernel, n, gt, xg, xxg,
                           float(ig11), float(ig03), float(ig33), float(ig55),
-                          th, w, vert_mxu, stacked),
+                          th, w, stacked),
         grid=(h_pad // th,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((5, th, w), lambda i: (0, i, 0),
@@ -269,7 +239,7 @@ def _polyexp_batch_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
     slot = s % 2
     copy(b, i, slot).wait()
     _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
-                False, stacked, scratch[slot], out_ref.at[0])
+                stacked, scratch[slot], out_ref.at[0])
 
 
 @functools.partial(jax.jit,

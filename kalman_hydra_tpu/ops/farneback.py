@@ -413,12 +413,11 @@ def polyexp_pyramid(img: jnp.ndarray, cfg: FlowConfig, impl: str = "xla",
     dt = jnp.bfloat16 if cfg.bf16_poly else jnp.float32
     if impl == "pallas":
         from ..kernels.polyexp_pallas import poly_expansion_planar as _pe
-        import os as _os
-        if _os.environ.get("KH_PE_FUSED", "1") == "1":
+        if cfg.pe_fused:
             # coarse levels: ONE launch for blur+resize+polyexp (level
             # images stay in VMEM); level 0: blur in XLA (3 taps), the
-            # full-res polyexp kernel. KH_PE_FUSED=0 falls back to the
-            # per-stage kernels (trace-time knob, same caveat as KH_FI_TH)
+            # full-res polyexp kernel. pe_fused=False falls back to the
+            # per-stage kernels.
             from ..kernels.level_image_pallas import coarse_polyexp_fused
             from .pyramid import farneback_levels, gaussian_blur_level
             coarse = coarse_polyexp_fused(img, cfg.levels, cfg.pyr_scale,
@@ -426,12 +425,14 @@ def polyexp_pyramid(img: jnp.ndarray, cfg: FlowConfig, impl: str = "xla",
                                           out_dtype=dt, interpret=interpret)
             img0 = gaussian_blur_level(img.astype(jnp.float32), cfg, k=0)
             fine = _pe(img0, cfg.poly_n, cfg.poly_sigma, out_dtype=dt,
+                       tile_h=cfg.pe_tile_h, stacked=cfg.pe_stacked,
                        interpret=interpret)
             return tuple(coarse) + (fine,)
         from ..kernels.level_image_pallas import farneback_images_pallas
         imgs = farneback_images_pallas(img, cfg.levels, cfg.pyr_scale,
                                        interpret=interpret)
         return tuple(_pe(i, cfg.poly_n, cfg.poly_sigma, out_dtype=dt,
+                         tile_h=cfg.pe_tile_h, stacked=cfg.pe_stacked,
                          interpret=interpret)
                      for i in imgs)
     imgs = farneback_images(img, cfg.levels, cfg.pyr_scale)
@@ -468,13 +469,10 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
             # coarse levels that fit VMEM run ALL iterations in ONE
             # launch (flow carry stays on-chip) — the per-iteration
             # launch + pad/crop dispatch overhead dominates their
-            # compute (tools/fi_decomp_ab.py). KH_FI_LEVEL=0 reverts to
-            # per-iteration kernels (trace-time knob, KH_FI_TH caveat).
-            import os as _os
-            _lv_env = _os.environ.get("KH_FI_LEVEL")
-            _lv = (_lv_env == "1" if _lv_env is not None
-                   else cfg.fi_level_fused)
-            if (_lv and _flvl_fits(lh, lw, cfg.winsize, cfg.fast_warp,
+            # compute (tools/fi_decomp_ab.py). fi_level_fused=False
+            # reverts to per-iteration kernels.
+            if (cfg.fi_level_fused
+                    and _flvl_fits(lh, lw, cfg.winsize, cfg.fast_warp,
                                    R0p.dtype.itemsize)):
                 flow_p = _flvl(R0p, R1p, flow_p, cfg.winsize,
                                cfg.fast_warp, cfg.iterations,
@@ -488,28 +486,14 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
             # padded into the slab layout ONCE per level (prep_planes) —
             # they are iteration-invariant, so per-call padding tripled
             # the XLA pad traffic.
-            # KH_FI_TH: row-tile height A/B knob (0 = kernel default).
-            # NOTE: env knobs are read at JIT TRACE time — changing them
-            # later in the same process has no effect on an already-
-            # traced callable; A/B sweeps must use a fresh interpreter
-            # per setting (bench.py does).
-            # KH_FI_SKIP=1: tile-adaptive shift skipping (exact).
-            # KH_FI_BOXBF16=1: bf16 winsize-box accumulation (~1e-3 px).
-            # KH_FI_WARPBF16=1: bf16 select-sum warp accumulation.
-            # KH_FI_BORDER2=1: scheduling-friendly border handling
-            # (column taper as a row-vector; unguarded dr^2 + edge fix).
             from ..kernels.flow_iter_pallas import prep_planes as _prep
-            _th_env = _os.environ.get("KH_FI_TH")
-            _sk_env = _os.environ.get("KH_FI_SKIP")
-            _th = int(_th_env) if _th_env is not None else cfg.fi_tile_h
-            _sk = (_sk_env == "1" if _sk_env is not None
-                   else cfg.fi_shift_skip)
+            _th = cfg.fi_tile_h
             R0pp = _prep(R0p, cfg.winsize, cfg.fast_warp, tile_h=_th)
             R1pp = _prep(R1p, cfg.winsize, cfg.fast_warp, tile_h=_th)
-            # KH_FI_JOINRS=1: both plane stacks ride ONE (10, H, W) HBM
+            # fi_join_rs: both plane stacks ride ONE (10, H, W) HBM
             # array (concat once per level) -> 2 DMAs per grid step
             # instead of 3
-            if _os.environ.get("KH_FI_JOINRS", "0") == "1":
+            if cfg.fi_join_rs:
                 R0pp = jnp.concatenate([R0pp, R1pp], axis=0)
                 R1pp = None
             for _ in range(cfg.iterations):
@@ -517,20 +501,8 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
                              cfg.winsize, cfg.fast_warp,
                              cfg.gaussian_win,
                              tile_h=_th,
-                             shift_skip=_sk,
-                             vbox_mxu=_os.environ.get(
-                                 "KH_FI_VBOX", "0") == "1",
-                             box_bf16=_os.environ.get(
-                                 "KH_FI_BOXBF16", "0") == "1",
-                             warp_bf16=_os.environ.get(
-                                 "KH_FI_WARPBF16", "0") == "1",
-                             border_v2=_os.environ.get(
-                                 "KH_FI_BORDER2", "0") == "1",
-                             # KH_FI_BOXSTACK=1: all 5 M planes share
-                             # each box pass (lane-concat; 16 passes
-                             # instead of 80, exact)
-                             box_stacked=_os.environ.get(
-                                 "KH_FI_BOXSTACK", "0") == "1",
+                             shift_skip=cfg.fi_shift_skip,
+                             box_stacked=cfg.fi_box_stacked,
                              img_hw=(lh, lw),
                              interpret=interpret)
             continue
@@ -577,6 +549,7 @@ def polyexp_pyramid_batch(grays: jnp.ndarray, cfg: FlowConfig,
         img0 = gaussian_blur_level(grays.astype(jnp.float32), cfg, k=0)
         fine = poly_expansion_planar_batch(
             img0, cfg.poly_n, cfg.poly_sigma, out_dtype=dt,
+            tile_h=cfg.pe_tile_h, stacked=cfg.pe_stacked,
             interpret=interpret)
         return tuple(coarse) + (fine,)
     imgs = farneback_images(grays, cfg.levels, cfg.pyr_scale)
@@ -620,19 +593,16 @@ def farneback_pairs_from_pyramids(Rs_all, cfg: FlowConfig,
                 lambda f: resize_linear(f, lh, lw))(flow_b) \
                 * (1.0 / cfg.pyr_scale)
         if impl == "pallas" and cfg.fast_warp > 0:
-            import os as _os
-            _th_env = _os.environ.get("KH_FI_TH")
-            _sk_env = _os.environ.get("KH_FI_SKIP")
-            _th = int(_th_env) if _th_env is not None else cfg.fi_tile_h
-            _sk = (_sk_env == "1" if _sk_env is not None
-                   else cfg.fi_shift_skip)
+            _th = cfg.fi_tile_h
             Rlp = jax.vmap(lambda R: prep_planes(
                 R, cfg.winsize, cfg.fast_warp, tile_h=_th))(Rl)
             for _ in range(cfg.iterations):
                 flow_b = flow_iter_pairs(
                     Rlp, flow_b, cfg.winsize, cfg.fast_warp, (lh, lw),
                     gaussian=cfg.gaussian_win, tile_h=_th,
-                    shift_skip=_sk, clip_len=clip_len,
+                    shift_skip=cfg.fi_shift_skip,
+                    box_stacked=cfg.fi_box_stacked,
+                    clip_len=clip_len,
                     interpret=interpret)
         else:
             R0 = Rl[pidx]

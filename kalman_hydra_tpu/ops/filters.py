@@ -12,17 +12,11 @@ cv2.BORDER_REPLICATE (numpy mode="edge").
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
 _NP_MODE = {"reflect101": "reflect", "replicate": "edge"}
-
-# KH_BOX_SPLIT=0 disables the factored 3xA box decomposition (A/B knob for
-# hardware timing; results are identical up to fp regrouping)
-_BOX_SPLIT3 = os.environ.get("KH_BOX_SPLIT", "1") == "1"
 
 # OpenCV getGaussianKernel fixed small kernels for sigma <= 0
 _SMALL_GAUSSIAN = {
@@ -129,7 +123,9 @@ def box_filter(x: jnp.ndarray, size: int, axis: int,
     axis = axis % x.ndim
     xp = pad1d(x, r, r, axis, border)
     n = x.shape[axis]
-    if size >= 9 and size % 3 == 0 and _BOX_SPLIT3:
+    # factored 3xA box decomposition (round-2 A/B winner, 59->71.5
+    # fps at 1080p XLA path; identical up to fp regrouping)
+    if size >= 9 and size % 3 == 0:
         # factored split: box(3a) = box3 then a strided box_a with step 3
         # (exact regrouping of the sum) — 3 + a shifted reads instead of
         # 3a, i.e. ~half the HBM traffic for the winsize-15 Farneback

@@ -267,19 +267,14 @@ def _lk_level_prologue(pa, pb, pgx, pgy, pt_l, guess, cfg: FlowConfig):
     blocked gather (FlowConfig.lk_blocked_gather, default True):
     bit-exact and the single biggest sparse win on silicon (74.4 ->
     133.8 fps at 1080p/1k tracks — the plain full-width gather's
-    ~300 MB intermediates dominated the solve). KH_LK_BGATHER
-    overrides at TRACE time (same caveat as KH_FI_TH)."""
+    ~300 MB intermediates dominated the solve)."""
     w = cfg.lk_winsize
     half = (w - 1) * 0.5
     D = cfg.lk_block_halo
     Bb = w + 1 + 2 * D
     Hp, Wp = pb.shape
 
-    import os as _os
-    _bg_env = _os.environ.get("KH_LK_BGATHER")
-    _use_bg = (_bg_env == "1" if _bg_env is not None
-               else cfg.lk_blocked_gather)
-    _gb = (_gather_blocks_klast_blocked if _use_bg
+    _gb = (_gather_blocks_klast_blocked if cfg.lk_blocked_gather
            else _gather_blocks_klast)
     abase_x = jnp.floor(pt_l[:, 0] - half).astype(jnp.int32)
     abase_y = jnp.floor(pt_l[:, 1] - half).astype(jnp.int32)

@@ -36,34 +36,16 @@ def test_polyexp_kernel_matches_xla(pn, ps, rng):
     assert np.abs(ref - np.moveaxis(got, 0, -1)).max() < 1e-3
 
 
-def test_polyexp_kernel_vert_mxu_matches_xla(rng, monkeypatch):
-    """KH_PE_VMXU=1 swaps the vertical tap loop for a banded MXU
-    contraction — same math, different summation order, so ~1e-5 abs
-    (not bit-exact). Trace-time env knob: clear the jit cache so the
-    traced variant actually changes."""
-    monkeypatch.setenv("KH_PE_VMXU", "1")
-    poly_expansion_planar.clear_cache()
-    img = rng.uniform(0, 255, (100, 130)).astype(np.float32)
-    ref = np.asarray(FB.poly_expansion(jnp.asarray(img), 5, 1.1))
-    got = np.asarray(poly_expansion_planar(jnp.asarray(img), 5, 1.1,
-                                           interpret=True))
-    poly_expansion_planar.clear_cache()
-    assert np.abs(ref - np.moveaxis(got, 0, -1)).max() < 1e-3
-
-
-def test_polyexp_kernel_stacked_matches_planar(rng, monkeypatch):
-    """KH_PE_STACK=1 lane-stacks the tap passes (3x-wide vertical FMA +
+def test_polyexp_kernel_stacked_matches_planar(rng):
+    """pe_stacked=True lane-stacks the tap passes (3x-wide vertical FMA +
     weight-grouped horizontal accumulators). Per-lane multiply/add order
     is unchanged — residual diffs are compiler FMA-fusion rounding only
-    (~1e-6 relative measured), far below the vert_mxu reorder."""
+    (~1e-6 relative measured)."""
     img = rng.uniform(0, 255, (100, 130)).astype(np.float32)
     base = np.asarray(poly_expansion_planar(jnp.asarray(img), 5, 1.1,
                                             interpret=True))
-    monkeypatch.setenv("KH_PE_STACK", "1")
-    poly_expansion_planar.clear_cache()
     got = np.asarray(poly_expansion_planar(jnp.asarray(img), 5, 1.1,
-                                           interpret=True))
-    poly_expansion_planar.clear_cache()
+                                           stacked=True, interpret=True))
     assert np.abs(base - got).max() < 1e-4
 
 
@@ -168,12 +150,6 @@ def test_flow_iter_kernel_box_stacked_exact(rng):
         got = flow_iter(R0, R1, fl, win, 8, False, interpret=True,
                         box_stacked=True, shift_skip=True)
         assert float(jnp.abs(got - ref).max()) == 0.0
-    # border_v2 shares _box_solve: the stacked box must compose with it
-    ref2 = flow_iter(R0, R1, fl, 15, 8, False, interpret=True,
-                     border_v2=True)
-    got2 = flow_iter(R0, R1, fl, 15, 8, False, interpret=True,
-                     border_v2=True, box_stacked=True)
-    assert float(jnp.abs(got2 - ref2).max()) == 0.0
 
 
 def test_flow_iter_kernel_join_rs_exact(rng):
@@ -196,22 +172,6 @@ def test_flow_iter_kernel_join_rs_exact(rng):
     got = flow_iter(RJ, None, fl, win, 8, False, interpret=True,
                     shift_skip=True, img_hw=(h, w))
     assert float(jnp.abs(got - ref).max()) == 0.0
-
-
-def test_flow_iter_kernel_border_v2_exact(rng):
-    """border_v2 (column taper as row-vector + dr^2 post-product scale in
-    the rare border branch) must match the v1 formulation to float noise
-    on tiles with and without image borders."""
-    from kalman_hydra_tpu.kernels.flow_iter_pallas import flow_iter
-    for h, w, th in [(70, 90, 32), (96, 90, 16)]:
-        R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
-        R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
-        fl = jnp.asarray(rng.uniform(-5, 5, (2, h, w)).astype(np.float32))
-        ref = FB.update_flow_p(
-            FB.update_matrices_p(R0, R1, fl, fast_warp=8), 15, False)
-        got = flow_iter(R0, R1, fl, 15, 8, False, tile_h=th,
-                        interpret=True, shift_skip=True, border_v2=True)
-        assert float(jnp.abs(got - ref).max()) < 1e-4
 
 
 def test_flow_iter_kernel_band_mode(rng):

@@ -12,8 +12,7 @@ import sys
 import time
 
 sys.path.insert(0, ".")
-os.environ.setdefault("KH_FI_SKIP", "1")
-os.environ.setdefault("KH_FI_TH", "64")
+# (fi_shift_skip/fi_tile_h winners are FlowConfig defaults now)
 
 
 def marginal_clip(make_fn, r1=2, r2=6):

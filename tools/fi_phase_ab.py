@@ -70,20 +70,17 @@ def main():
           f"{float(prior[1].mean()):.2f})", flush=True)
 
     th = int(os.environ.get("KH_FI_TH", "64"))
-    variants = ["", "v2", "dma", "warp", "m", "border", "box", "solve",
+    variants = ["", "dma", "warp", "m", "border", "box", "solve",
                 "damp", "rowfix", "colfix", "nocond",
                 "m,box,solve", "warp,m,border,box,solve"]
     res = {}
     for dsk in variants:
-        v2 = dsk == "v2"
-
-        def fn(r0, r1, fl, acc, dsk=dsk, v2=v2):
+        def fn(r0, r1, fl, acc, dsk=dsk):
             out = flow_iter(r0 + (acc * 1e-20).astype(r0.dtype), r1, fl,
                             fcfg.winsize, fcfg.fast_warp,
                             gaussian=fcfg.gaussian_win,
                             tile_h=th, shift_skip=True,
-                            border_v2=v2,
-                            diag_skip="" if v2 else dsk)
+                            diag_skip=dsk)
             return jnp.sum(out[:, ::64, ::64])
         dt = marginal(fn, (R0p, R1p, prior))
         res[dsk] = dt * 1e3

@@ -53,8 +53,8 @@ def main():
     from kalman_hydra_tpu.io.synthetic import translating_pair
 
     which = set(args) or {"pyramid", "levels", "scharr", "polyexp",
-                          "flow_update", "flow_iter", "flow_level",
-                          "ekf", "lk"}
+                          "flow_update", "flow_iter", "pairs",
+                          "flow_level", "ekf", "lk"}
     print(f"device: {jax.devices()[0]}; kernels: {sorted(which)}",
           flush=True)
     a, b, _ = translating_pair(height=270, width=480, shift=(2.0, -1.3))
@@ -98,16 +98,9 @@ def main():
         got = poly_expansion_planar(a_d, 5, 1.1)
         ref = poly_expansion_p(a_d, 5, 1.1)
         ok &= check(f"polyexp ({time.time()-t0:.0f}s)", got, ref, 1e-2)
-        # lane-stacked tap passes (KH_PE_STACK trace-time knob): the knob
-        # is captured at trace time, so drop the cached trace first
-        os.environ["KH_PE_STACK"] = "1"
-        try:
-            poly_expansion_planar.clear_cache()
-            got = poly_expansion_planar(a_d, 5, 1.1)
-            ok &= check("polyexp pe_stack", got, ref, 1e-2)
-        finally:
-            os.environ.pop("KH_PE_STACK", None)
-            poly_expansion_planar.clear_cache()
+        # lane-stacked tap passes (FlowConfig.pe_stacked)
+        got = poly_expansion_planar(a_d, 5, 1.1, stacked=True)
+        ok &= check("polyexp pe_stack", got, ref, 1e-2)
 
     if "flow_update" in which:
         from kalman_hydra_tpu.kernels.flow_update_pallas import flow_update
@@ -150,12 +143,6 @@ def main():
         got = flow_iter(R0.astype(jnp.bfloat16), R1.astype(jnp.bfloat16),
                         fl, 15, 8, False, shift_skip=True)
         ok &= check("flow_iter shift_skip bf16", got, ref, 0.05)
-        # MXU vertical box + all optimizations combined
-        got = flow_iter(R0, R1, fl, 15, 8, False, vbox_mxu=True)
-        ok &= check("flow_iter vbox_mxu", got, ref, 1e-3)
-        got = flow_iter(R0.astype(jnp.bfloat16), R1.astype(jnp.bfloat16),
-                        fl, 15, 8, False, shift_skip=True, vbox_mxu=True)
-        ok &= check("flow_iter skip+vbox bf16", got, ref, 0.05)
         # joined R0/R1 slab (one (10,H,W) HBM array, 2 DMAs per step)
         got = flow_iter(jnp.concatenate([R0, R1], axis=0), None, fl,
                         15, 8, False, shift_skip=True)
@@ -168,6 +155,16 @@ def main():
         got = flow_iter(R0, R1, fl, 15, 8, False, shift_skip=True,
                         box_stacked=True)
         ok &= check("flow_iter box_stacked", got, ref, 1e-3)
+        # OPTFLOW_FARNEBACK_GAUSSIAN weights branch (round-3 verdict
+        # missing #4: interpret-verified only until now)
+        ref_g = update_flow_p(
+            update_matrices_p(R0, R1, fl, fast_warp=8).astype(jnp.float32),
+            15, True)
+        got = flow_iter(R0, R1, fl, 15, 8, True)
+        ok &= check("flow_iter gaussian", got, ref_g, 1e-3)
+        got = flow_iter(R0.astype(jnp.bfloat16), R1.astype(jnp.bfloat16),
+                        fl, 15, 8, True, shift_skip=True, tile_h=64)
+        ok &= check("flow_iter gaussian bf16 skip th64", got, ref_g, 0.05)
         # band mode (sharded row slabs): a mid-image slab with its global
         # row offset must reproduce the full-image rows exactly in the
         # band interior (reach bw + D + 1 = 16 rows)
@@ -181,6 +178,32 @@ def main():
             .astype(jnp.float32), 15, False)
         ok &= check("flow_iter band", got_b[:, RP:-RP], ref_b[:, 64:128],
                     1e-3)
+
+    if "pairs" in which:
+        # pair-batched launch (round-4: flow_iter_pairs, grid (B, tiles))
+        # vs per-pair flow_iter on the same planes
+        from kalman_hydra_tpu.kernels.flow_iter_pallas import (
+            flow_iter, flow_iter_pairs, prep_planes)
+        from kalman_hydra_tpu.ops.farneback import poly_expansion_p
+        rng0 = np.random.default_rng(3)
+        shifts = [(0.0, 0.0), (1.3, -0.8), (2.6, -1.6), (3.9, -2.4)]
+        frames = [jnp.asarray(translating_pair(
+            height=270, width=480, shift=s)[0]) for s in shifts]
+        Rs = [poly_expansion_p(f, 5, 1.1) for f in frames]
+        fl_b = jnp.asarray(rng0.uniform(-4, 4, (3, 2) + a.shape)
+                           .astype(np.float32))
+        for dt, tol in ((jnp.float32, 1e-3), (jnp.bfloat16, 0.05)):
+            Rall = jnp.stack([prep_planes(R.astype(dt), 15, 8, 64)
+                              for R in Rs])
+            t0 = time.time()
+            got = flow_iter_pairs(Rall, fl_b, 15, 8, a.shape, tile_h=64)
+            for bi in range(3):
+                ref = flow_iter(Rs[bi].astype(dt), Rs[bi + 1].astype(dt),
+                                fl_b[bi], 15, 8, False, shift_skip=True,
+                                tile_h=64)
+                ok &= check(
+                    f"flow_iter_pairs[{bi}] {dt.__name__} "
+                    f"({time.time()-t0:.0f}s)", got[bi], ref, tol)
 
     if "flow_level" in which:
         from kalman_hydra_tpu.kernels.flow_level_pallas import flow_level
@@ -205,6 +228,13 @@ def main():
         got = flow_level(R0.astype(jnp.bfloat16), R1.astype(jnp.bfloat16),
                          fl, 15, 8, 3)
         ok &= check("flow_level bf16", got, ref, 0.25)
+        ref_g = fl
+        for _ in range(3):
+            ref_g = update_flow_p(
+                update_matrices_p(R0, R1, ref_g, fast_warp=8)
+                .astype(jnp.float32), 15, True)
+        got = flow_level(R0, R1, fl, 15, 8, 3, gaussian=True)
+        ok &= check("flow_level gaussian", got, ref_g, 1e-3)
 
     if "ekf" in which:
         from kalman_hydra_tpu.kernels.ekf_pallas import ekf_fused_step

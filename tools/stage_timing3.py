@@ -9,8 +9,7 @@ sys.path.insert(0, ".")
 
 # default to the round-3 bench winners (BASELINE.md round-3 table);
 # override per-run to A/B. Read at trace time.
-os.environ.setdefault("KH_FI_SKIP", "1")
-os.environ.setdefault("KH_FI_TH", "64")
+# (fi_shift_skip/fi_tile_h winners are FlowConfig defaults now)
 
 
 def marginal(fn, args, r1=1, r2=5):
