@@ -334,7 +334,19 @@ def _box_solve(th, w, bw, weights, diag_skip,
 
     (bf16 box accumulation and a banded-MXU vertical box were A/B'd here
     and rejected on v5e — BASELINE.md round-3 ledger: KH_FI_BOXBF16 +1.2%
-    fps but 10x EPE; KH_FI_VBOX neutral, box passes are not the cost.)"""
+    fps but 10x EPE; KH_FI_VBOX neutral, box passes are not the cost.)
+
+    out_ref is (2, th, w) or, from the pair-batched kernel, (1, 2, th, w)
+    — written with a scalar leading 0 (an .at[0] view materializes a
+    Mosaic memref_slice whose last-two extents must be (8,128)-aligned,
+    rejecting any unaligned level width on hardware; interpret mode does
+    not model this)."""
+    if len(out_ref.shape) == 4:
+        def _st(c, val):
+            out_ref[0, c, :, :] = val
+    else:
+        def _st(c, val):
+            out_ref[c, :, :] = val
     m0, m1, m2, m3, m4 = ms_in
     taps = 2 * bw + 1
     box_split = weights is None        # uniform box, 3xA factored
@@ -376,8 +388,8 @@ def _box_solve(th, w, bw, weights, diag_skip,
         g11, g12, g22, h1, h2 = (
             hsum[:, p * mcols:p * mcols + w] for p in range(5))
         idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
-        out_ref[0, :, :] = (g22 * h1 - g12 * h2) * idet
-        out_ref[1, :, :] = (g11 * h2 - g12 * h1) * idet
+        _st(0, (g22 * h1 - g12 * h2) * idet)
+        _st(1, (g11 * h2 - g12 * h1) * idet)
         return
     ms = (m0, m1, m2, m3, m4)
     if "box" in diag_skip:
@@ -385,8 +397,8 @@ def _box_solve(th, w, bw, weights, diag_skip,
         g11, g12, g22, h1, h2 = (m[bw:bw + th, bw:bw + w].astype(
             jnp.float32) for m in ms)
         idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
-        out_ref[0, :, :] = (g22 * h1 - g12 * h2) * idet
-        out_ref[1, :, :] = (g11 * h2 - g12 * h1) * idet
+        _st(0, (g22 * h1 - g12 * h2) * idet)
+        _st(1, (g11 * h2 - g12 * h1) * idet)
         return
     outs = []
     for m in ms:
@@ -426,12 +438,12 @@ def _box_solve(th, w, bw, weights, diag_skip,
         outs.append(hsum.astype(jnp.float32))
     g11, g12, g22, h1, h2 = outs
     if "solve" in diag_skip:
-        out_ref[0, :, :] = h1
-        out_ref[1, :, :] = h2
+        _st(0, h1)
+        _st(1, h2)
         return
     idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
-    out_ref[0, :, :] = (g22 * h1 - g12 * h2) * idet
-    out_ref[1, :, :] = (g11 * h2 - g12 * h1) * idet
+    _st(0, (g22 * h1 - g12 * h2) * idet)
+    _st(1, (g11 * h2 - g12 * h1) * idet)
 
 
 def fi_geometry(h: int, w: int, winsize: int, max_disp: int,
@@ -644,7 +656,7 @@ def _flow_iter_pairs_kernel(th: int, w: int, h: int, bw: int, D: int,
 
     m0, m1, m2, m3, m4 = (col_fix(m) for m in (m0, m1, m2, m3, m4))
     return _box_solve(th, w, bw, weights, frozenset(),
-                      out_ref.at[0], (m0, m1, m2, m3, m4),
+                      out_ref, (m0, m1, m2, m3, m4),
                       box_stacked=box_stacked)
 
 

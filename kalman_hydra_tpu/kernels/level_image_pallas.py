@@ -118,9 +118,20 @@ def _levels_polyexp_kernel(nlev: int, n: int, taps, igs, out_dtype,
     vs = refs[:nlev]
     hs = refs[nlev:2 * nlev]
     outs = refs[2 * nlev:]
-    img = img_ref[:]
+    # batched refs carry a leading size-1 block axis and are written with
+    # a scalar leading 0 index (an .at[0] view materializes a Mosaic
+    # memref_slice whose unaligned coarse-level extents reject on
+    # hardware; scalar-indexed stores over the full last-two extents are
+    # the verified pattern)
+    img = img_ref[0] if len(img_ref.shape) == 3 else img_ref[:]
     ntaps = 2 * n + 1
     for vm, hm, o in zip(vs, hs, outs):
+        if len(o.shape) == 4:
+            def _st(c, val, o=o):
+                o[0, c, :, :] = val
+        else:
+            def _st(c, val, o=o):
+                o[c, :, :] = val
         t = jax.lax.dot(vm[:], img, precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
         Lp = jax.lax.dot(t, hm[:], precision=jax.lax.Precision.HIGHEST,
@@ -153,11 +164,11 @@ def _levels_polyexp_kernel(nlev: int, n: int, taps, igs, out_dtype,
             m01 = d if m01 is None else m01 + d
             m11 = e if m11 is None else m11 + e
             m02 = f2 if m02 is None else m02 + f2
-        o[0, :, :] = (m10 * ig11).astype(out_dtype)
-        o[1, :, :] = (m01 * ig11).astype(out_dtype)
-        o[2, :, :] = (m00 * ig03 + m20 * ig33).astype(out_dtype)
-        o[3, :, :] = (m00 * ig03 + m02 * ig33).astype(out_dtype)
-        o[4, :, :] = (m11 * ig55).astype(out_dtype)
+        _st(0, (m10 * ig11).astype(out_dtype))
+        _st(1, (m01 * ig11).astype(out_dtype))
+        _st(2, (m00 * ig03 + m20 * ig33).astype(out_dtype))
+        _st(3, (m00 * ig03 + m02 * ig33).astype(out_dtype))
+        _st(4, (m11 * ig55).astype(out_dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "pyr_scale",
@@ -217,13 +228,9 @@ def coarse_polyexp_fused(img: jnp.ndarray, levels: int, pyr_scale: float,
 def _levels_polyexp_batch_kernel(nlev: int, n: int, taps, igs, out_dtype,
                                  img_ref, *refs):
     """Frame-batched twin: grid (N,); img/out blocks carry a leading
-    batch axis of 1, the band matrices are shared across frames."""
-    vs = refs[:nlev]
-    hs = refs[nlev:2 * nlev]
-    outs = refs[2 * nlev:]
-    _levels_polyexp_kernel(nlev, n, taps, igs, out_dtype,
-                           img_ref.at[0], *vs, *hs,
-                           *[o.at[0] for o in outs])
+    batch axis of 1 (handled by rank inside _levels_polyexp_kernel), the
+    band matrices are shared across frames."""
+    _levels_polyexp_kernel(nlev, n, taps, igs, out_dtype, img_ref, *refs)
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "pyr_scale",

@@ -63,7 +63,20 @@ def _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
                 stacked, s, out_ref):
     """Slab -> 5 coefficient planes (shared by the single-image and the
     frame-batched kernels; `s` is the VMEM slab, `out_ref` the (5, th,
-    w_out) output block)."""
+    w_out) — or, batched, (1, 5, th, w_out) — output block).
+
+    Batched refs are indexed with a scalar leading 0 rather than viewed
+    via .at[0]: an .at view materializes a Mosaic memref_slice whose
+    last-two extents must be (8,128)-aligned, which rejects on hardware
+    for any non-aligned w_out (interpret mode does not model this);
+    scalar-indexed stores over the FULL last-two extents are the
+    hardware-verified pattern."""
+    if len(out_ref.shape) == 4:
+        def _st(c, val):
+            out_ref[0, c, :, :] = val
+    else:
+        def _st(c, val):
+            out_ref[c, :, :] = val
     taps = 2 * n + 1
     if stacked:
         # lane-stacked variant (same rationale as flow_iter box_stacked:
@@ -104,11 +117,11 @@ def _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
         m11 = acc_xg[:, wp:wp + w_out]
         m20 = acc_xxg
         dt = out_ref.dtype
-        out_ref[0, :, :] = (m10 * ig11).astype(dt)
-        out_ref[1, :, :] = (m01 * ig11).astype(dt)
-        out_ref[2, :, :] = (m00 * ig03 + m20 * ig33).astype(dt)
-        out_ref[3, :, :] = (m00 * ig03 + m02 * ig33).astype(dt)
-        out_ref[4, :, :] = (m11 * ig55).astype(dt)
+        _st(0, (m10 * ig11).astype(dt))
+        _st(1, (m01 * ig11).astype(dt))
+        _st(2, (m00 * ig03 + m20 * ig33).astype(dt))
+        _st(3, (m00 * ig03 + m02 * ig33).astype(dt))
+        _st(4, (m11 * ig55).astype(dt))
         return
     # (a banded-MXU vertical-tap variant was A/B'd here and measured
     # neutral on v5e — BASELINE.md round-3 "rejected" ledger, KH_PE_VMXU)
@@ -141,11 +154,11 @@ def _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
         m02 = f if m02 is None else m02 + f
 
     dt = out_ref.dtype
-    out_ref[0, :, :] = (m10 * ig11).astype(dt)           # b_x
-    out_ref[1, :, :] = (m01 * ig11).astype(dt)           # b_y
-    out_ref[2, :, :] = (m00 * ig03 + m20 * ig33).astype(dt)   # a_xx
-    out_ref[3, :, :] = (m00 * ig03 + m02 * ig33).astype(dt)   # a_yy
-    out_ref[4, :, :] = (m11 * ig55).astype(dt)  # axy (full xy coefficient)
+    _st(0, (m10 * ig11).astype(dt))           # b_x
+    _st(1, (m01 * ig11).astype(dt))           # b_y
+    _st(2, (m00 * ig03 + m20 * ig33).astype(dt))   # a_xx
+    _st(3, (m00 * ig03 + m02 * ig33).astype(dt))   # a_yy
+    _st(4, (m11 * ig55).astype(dt))  # axy (full xy coefficient)
 
 
 @functools.partial(jax.jit,
@@ -239,7 +252,7 @@ def _polyexp_batch_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
     slot = s % 2
     copy(b, i, slot).wait()
     _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
-                stacked, scratch[slot], out_ref.at[0])
+                stacked, scratch[slot], out_ref)
 
 
 @functools.partial(jax.jit,
