@@ -49,11 +49,8 @@ def _env_flow_overrides(flow_kw):
             ("KH_FI_TH", "fi_tile_h", int),
             ("KH_FI_SKIP", "fi_shift_skip", lambda v: v == "1"),
             ("KH_FI_LEVEL", "fi_level_fused", lambda v: v == "1"),
-            ("KH_FI_JOINRS", "fi_join_rs", lambda v: v == "1"),
-            ("KH_FI_BOXSTACK", "fi_box_stacked", lambda v: v == "1"),
             ("KH_PE_FUSED", "pe_fused", lambda v: v == "1"),
             ("KH_PE_TH", "pe_tile_h", int),
-            ("KH_PE_STACK", "pe_stacked", lambda v: v == "1"),
             ("KH_LK_BGATHER", "lk_blocked_gather", lambda v: v == "1")):
         v = os.environ.get(env)
         if v is not None:
@@ -219,11 +216,15 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
         def body(_i, acc):
             s = base_seeds + acc * 1e-20   # carry dep: defeats LICM
             if batch > 1:
-                # vmap cannot lower the manual-DMA Pallas kernels
-                # (ANY-space blocks reject the added batch dim), so the
-                # pallas impl maps clips sequentially — same aggregate
-                # throughput semantics, no cross-clip interleave
-                if cfg.impl == "pallas":
+                if cfg.pair_batch:
+                    # multi-clip contract (BASELINE.json:10): all clips'
+                    # pairs share each kernel launch (clip_len chaining);
+                    # per-clip EKF scans run under vmap
+                    outs = pl.track_clips_pairflow(f, cfg, seeds=s)
+                elif cfg.impl == "pallas":
+                    # vmap cannot lower the manual-DMA Pallas kernels
+                    # (ANY-space blocks reject the added batch dim): the
+                    # per-frame-scan pallas impl maps clips sequentially
                     outs = lax.map(
                         lambda fr: pl.track_arrays(fr, cfg, seeds=s), f)
                 else:

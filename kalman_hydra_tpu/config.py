@@ -88,21 +88,11 @@ class FlowConfig:
                                # launch (flow carry on-chip; hardware
                                # parity 1.4e-6; cfg2 480p 1130 -> 1270
                                # fps).
-    fi_join_rs: bool = False   # both polyexp plane stacks ride ONE
-                               # (10, H, W) HBM array -> 2 slab DMAs per
-                               # grid step instead of 3 (A/B knob for the
-                               # launch+DMA floor; exact)
-    fi_box_stacked: bool = False  # all 5 M planes lane-concatenated
-                               # through the winsize box passes: 16
-                               # shifted adds instead of 80 (exact)
     pe_fused: bool = True      # coarse-level polyexp fused into the
                                # level-image kernel (no HBM round-trip
                                # for coarse level images; +4 fps at
                                # 1080p, BASELINE.md round-3 table)
     pe_tile_h: int = 128       # polyexp kernel row-tile height
-    pe_stacked: bool = False   # lane-stacked polyexp tap passes (3x-wide
-                               # vertical FMA + weight-grouped horizontal
-                               # accumulators; bit-exact per lane)
     temporal_init: bool = False  # pipeline warm start: seed each frame
                                # pair's coarsest level with the PREVIOUS
                                # pair's flow (cv2 OPTFLOW_USE_INITIAL_FLOW
@@ -352,11 +342,28 @@ class RunConfig:
                 "explicitly)", stacklevel=2)
             ekf_raw = dict(ekf_raw, measurement="position")
             raw = dict(raw, ekf=ekf_raw)
+
+        def known(cls, section):
+            # drop (with a warning) fields a config JSON carries that this
+            # version no longer has — perf knobs come and go with their
+            # A/B ledger verdicts (BASELINE.md), and an old run artifact
+            # must stay loadable; its semantics never depended on them
+            d = raw.get(section, {})
+            names = {f.name for f in dataclasses.fields(cls)}
+            unknown = sorted(set(d) - names)
+            if unknown:
+                import warnings
+                warnings.warn(
+                    f"config JSON section {section!r} carries fields this "
+                    f"version no longer has: {unknown} — ignored",
+                    stacklevel=3)
+            return cls(**{k: v for k, v in d.items() if k in names})
+
         return RunConfig(
-            flow=FlowConfig(**raw.get("flow", {})),
-            ekf=EkfConfig(**raw.get("ekf", {})),
-            tracks=TrackConfig(**raw.get("tracks", {})),
-            smooth=SmoothConfig(**raw.get("smooth", {})),
+            flow=known(FlowConfig, "flow"),
+            ekf=known(EkfConfig, "ekf"),
+            tracks=known(TrackConfig, "tracks"),
+            smooth=known(SmoothConfig, "smooth"),
             **{k: v for k, v in raw.items()
                if k in ("impl", "pallas_interpret", "dtype", "data_axis",
                         "pair_batch")},

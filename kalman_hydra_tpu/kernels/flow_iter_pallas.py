@@ -55,7 +55,7 @@ def _damp_vec(abs_idx, limit):
 
 def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                       rows: int, weights, has_row0, shift_skip,
-                      box_stacked, join_rs, diag_skip, *refs):
+                      diag_skip, *refs):
     """Double-buffered slab pipeline: scratch slabs have a leading 2-slot
     axis; step i computes from slot i%2 while the DMAs for tile i+1 land
     in slot (i+1)%2 (started before this step's wait, so the copies
@@ -77,32 +77,21 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
     if shift_skip:
         *refs, vacc, racc = refs
     refs = list(refs)
-    if join_rs:
-        # joined mode: R0/R1 ride ONE (10, H, W) HBM array -> 2 DMAs per
-        # grid step instead of 3 (per-copy issue/semaphore overhead is a
-        # measurable slice of the launch+DMA floor, BASELINE.md round-3)
-        rj_hbm, fl_hbm = refs[:2]
-        refs = refs[2:]
-    else:
-        r0_hbm, r1_hbm, fl_hbm = refs[:3]
-        refs = refs[3:]
+    r0_hbm, r1_hbm, fl_hbm = refs[:3]
+    refs = refs[3:]
     if has_row0:
         row0_ref = refs.pop(0)
         row0 = row0_ref[0]
     else:
         row0 = 0
-    if join_rs:
-        out_ref, rj_s, fl_s, sem = refs
-    else:
-        out_ref, r0_s, r1_s, fl_s, sem = refs
+    out_ref, r0_s, r1_s, fl_s, sem = refs
     i = pl.program_id(0)
     nsteps = pl.num_programs(0)
     hb = bw + D                       # warp+box halo
     mrows = th + 2 * bw               # rows where M is needed
 
     def copies(step, slot):
-        pairs = (((rj_hbm, rj_s), (fl_hbm, fl_s)) if join_rs else
-                 ((r0_hbm, r0_s), (r1_hbm, r1_s), (fl_hbm, fl_s)))
+        pairs = ((r0_hbm, r0_s), (r1_hbm, r1_s), (fl_hbm, fl_s))
         return [
             pltpu.make_async_copy(src.at[:, pl.ds(step * th, rows), :],
                                   dst.at[slot], sem.at[slot, j])
@@ -122,14 +111,9 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
     for c in copies(i, slot):
         c.wait()
 
-    if join_rs:
-        r0_sl = rj_s[slot, 0:5]
-        r1_sl = rj_s[slot, 5:10]
-        wp = rj_s.shape[3]
-    else:
-        r0_sl = r0_s[slot]
-        r1_sl = r1_s[slot]
-        wp = r0_s.shape[3]
+    r0_sl = r0_s[slot]
+    r1_sl = r1_s[slot]
+    wp = r0_s.shape[3]
     base = hb - bw
     mcols = w + 2 * bw
     if "dma" in diag_skip:
@@ -324,17 +308,16 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                                   for m in (m0, m1, m2, m3, m4))
 
     return _box_solve(th, w, bw, weights, diag_skip,
-                      out_ref, (m0, m1, m2, m3, m4),
-                      box_stacked=box_stacked)
+                      out_ref, (m0, m1, m2, m3, m4))
 
 
-def _box_solve(th, w, bw, weights, diag_skip,
-               out_ref, ms_in, box_stacked=False):
+def _box_solve(th, w, bw, weights, diag_skip, out_ref, ms_in):
     """Separable winsize smoothing + 2x2 solve (shared kernel tail).
 
-    (bf16 box accumulation and a banded-MXU vertical box were A/B'd here
-    and rejected on v5e — BASELINE.md round-3 ledger: KH_FI_BOXBF16 +1.2%
-    fps but 10x EPE; KH_FI_VBOX neutral, box passes are not the cost.)
+    (Rejected A/Bs that lived here — BASELINE.md ledgers: bf16 box
+    accumulation +1.2% fps but 10x EPE (r3); banded-MXU vertical box
+    neutral (r3); 5-plane lane-concatenated box passes -6.5% (r4). The
+    box passes are not the kernel's cost.)
 
     out_ref is (2, th, w) or, from the pair-batched kernel, (1, 2, th, w)
     — written with a scalar leading 0 (an .at[0] view materializes a
@@ -350,47 +333,6 @@ def _box_solve(th, w, bw, weights, diag_skip,
     m0, m1, m2, m3, m4 = ms_in
     taps = 2 * bw + 1
     box_split = weights is None        # uniform box, 3xA factored
-    if box_stacked and box_split and not diag_skip:
-        # all 5 M planes concatenated on the LANE axis share every box
-        # pass: 16 full-width shifted adds instead of 5 x 16 — same
-        # FLOPs, 5x fewer scheduled ops (the kernel is Mosaic-
-        # scheduling bound, BASELINE.md round-3). Horizontal reads never
-        # cross a plane boundary: within plane span [p*mcols,
-        # (p+1)*mcols), the max read is j + k <= (w - 1) + 2*bw
-        # = mcols - 1.
-        mcols = m0.shape[1]
-        W5 = 5 * mcols
-        a = taps // 3
-        inv = 1.0 / taps
-        stk = jnp.concatenate([m0, m1, m2, m3, m4], axis=1)
-        s3 = None
-        for k in range(3):
-            t = stk[k:k + th + taps - 3, :]
-            s3 = t if s3 is None else s3 + t
-        vsum = None
-        for j in range(a):
-            t = s3[3 * j:3 * j + th, :]
-            vsum = t if vsum is None else vsum + t
-        # horizontal: uniform-width shifted adds over the stacked lanes;
-        # the final width W5 - (taps - 1) = 4*mcols + w + 2*bw - taps + 1
-        # still covers every plane's [p*mcols, p*mcols + w) output span
-        W3 = W5 - 2
-        s3h = None
-        for k in range(3):
-            t = vsum[:, k:k + W3]
-            s3h = t if s3h is None else s3h + t
-        Wt = W3 - 3 * (a - 1)
-        hsum = None
-        for j in range(a):
-            t = s3h[:, 3 * j:3 * j + Wt]
-            hsum = t if hsum is None else hsum + t
-        hsum = hsum * (inv * inv)
-        g11, g12, g22, h1, h2 = (
-            hsum[:, p * mcols:p * mcols + w] for p in range(5))
-        idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
-        _st(0, (g22 * h1 - g12 * h2) * idet)
-        _st(1, (g11 * h2 - g12 * h1) * idet)
-        return
     ms = (m0, m1, m2, m3, m4)
     if "box" in diag_skip:
         # diagnostic knockout: center crop stands in for the smoothed M
@@ -470,7 +412,7 @@ def fi_geometry(h: int, w: int, winsize: int, max_disp: int,
 
 
 def _flow_iter_pairs_kernel(th: int, w: int, h: int, bw: int, D: int,
-                            rows: int, weights, shift_skip, box_stacked,
+                            rows: int, weights, shift_skip,
                             ppc: int, r_hbm, fl_hbm, out_ref,
                             r0_s, r1_s, fl_s, sem, *accs):
     """Pair-batched fused Farneback iteration: grid (B, n_tiles).
@@ -486,8 +428,7 @@ def _flow_iter_pairs_kernel(th: int, w: int, h: int, bw: int, D: int,
     step index s = b * n_tiles + i, so the tile-(b, i+1) / pair-(b+1)
     DMAs overlap this step's compute exactly as in the single-pair
     kernel. Per-pair math is identical to _flow_iter_kernel (shift_skip
-    and box_stacked variants only; the rejected vbox/bf16/border_v2
-    branches are not carried here)."""
+    variant only)."""
     if shift_skip:
         vacc, racc = accs
     b = pl.program_id(0)
@@ -656,19 +597,18 @@ def _flow_iter_pairs_kernel(th: int, w: int, h: int, bw: int, D: int,
 
     m0, m1, m2, m3, m4 = (col_fix(m) for m in (m0, m1, m2, m3, m4))
     return _box_solve(th, w, bw, weights, frozenset(),
-                      out_ref, (m0, m1, m2, m3, m4),
-                      box_stacked=box_stacked)
+                      out_ref, (m0, m1, m2, m3, m4))
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "max_disp",
                                              "gaussian", "tile_h",
                                              "interpret", "shift_skip",
-                                             "box_stacked", "img_hw",
+                                             "img_hw",
                                              "clip_len"))
 def flow_iter_pairs(Rall: jnp.ndarray, flow_b: jnp.ndarray,
                     winsize: int, max_disp: int, img_hw,
                     gaussian: bool = False, tile_h: int = 0,
-                    shift_skip: bool = True, box_stacked: bool = False,
+                    shift_skip: bool = True,
                     clip_len: int = 0,
                     interpret: bool = False) -> jnp.ndarray:
     """One fused Farneback iteration for B independent frame pairs in ONE
@@ -682,7 +622,7 @@ def flow_iter_pairs(Rall: jnp.ndarray, flow_b: jnp.ndarray,
     p = b + b // (clip_len - 1) when `clip_len` = T chains C clips'
     frames as N = C * T (B = C * (T - 1)).
     Returns (B, 2, h, w) new flows. Per-pair numerics identical to
-    flow_iter(shift_skip=..., box_stacked=...).
+    flow_iter(shift_skip=...).
     """
     h, w = img_hw
     D = int(max_disp)
@@ -734,7 +674,7 @@ def flow_iter_pairs(Rall: jnp.ndarray, flow_b: jnp.ndarray,
 
     out = pl.pallas_call(
         functools.partial(_flow_iter_pairs_kernel, th, w, h, bw, D, rows,
-                          weights, shift_skip, box_stacked, ppc),
+                          weights, shift_skip, ppc),
         grid=(B, h_pad // th),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=pl.BlockSpec((1, 2, th, w), lambda b, i: (b, 0, i, 0),
@@ -771,7 +711,6 @@ def prep_planes(R: jnp.ndarray, winsize: int, max_disp: int,
                                              "gaussian", "tile_h",
                                              "interpret", "img_h",
                                              "shift_skip", "img_hw",
-                                             "box_stacked",
                                              "diag_skip"))
 def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               winsize: int, max_disp: int, gaussian: bool = False,
@@ -779,7 +718,6 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
               row0=None, img_h: int = 0,
               shift_skip: bool = False,
               img_hw=None,
-              box_stacked: bool = False,
               diag_skip: str = "") -> jnp.ndarray:
     """One fused Farneback iteration (warp included).
 
@@ -826,10 +764,6 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
         return jnp.pad(x, ((0, 0), (0, h_pad - h + extra),
                            (0, wp - (w + 2 * hb))))
 
-    # join_rs: R1p=None and R0p carries BOTH plane stacks as one
-    # (10, H, W) array (prep_planes on the jnp.concatenate of the two) —
-    # each grid step then issues 2 DMAs instead of 3
-    join_rs = R1p is None
     if img_hw is not None:
         r0, r1 = R0p, R1p
         if r0.shape[1:] != (h_pad - h + extra + h + 2 * hb, wp):
@@ -838,7 +772,7 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
                 f"fi_geometry for img_hw={img_hw}, tile_h={tile_h}")
     else:
         r0 = prep(R0p)
-        r1 = None if join_rs else prep(R1p)
+        r1 = prep(R1p)
     fl = prep(flow_p)
 
     has_row0 = row0 is not None
@@ -852,7 +786,7 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
             f"band mode requires tile_h >= winsize//2 + max_disp + 1 "
             f"(= {bw + D + 1}); got tile_h={th}")
     hg = img_h if has_row0 else h
-    inputs = (r0, fl) if join_rs else (r0, r1, fl)
+    inputs = (r0, r1, fl)
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(inputs)
     if has_row0:
         # row0 = GLOBAL image row of the caller's input row 0: the kernel
@@ -862,19 +796,12 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
         in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)]
 
     mrows = th + 2 * bw
-    if join_rs:
-        scratch = [
-            pltpu.VMEM((2, 10, rows, wp), R0p.dtype),
-            pltpu.VMEM((2, 2, rows, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ]
-    else:
-        scratch = [
-            pltpu.VMEM((2, 5, rows, wp), R0p.dtype),
-            pltpu.VMEM((2, 5, rows, wp), R1p.dtype),
-            pltpu.VMEM((2, 2, rows, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ]
+    scratch = [
+        pltpu.VMEM((2, 5, rows, wp), R0p.dtype),
+        pltpu.VMEM((2, 5, rows, wp), R1p.dtype),
+        pltpu.VMEM((2, 2, rows, wp), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 3)),
+    ]
     if shift_skip:
         scratch += [pltpu.VMEM((5, mrows, wp), jnp.float32),
                     pltpu.VMEM((5, mrows, w + 2 * bw), jnp.float32)]
@@ -886,8 +813,7 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
     dsk = frozenset(t for t in diag_skip.split(",") if t)
     out = pl.pallas_call(
         functools.partial(_flow_iter_kernel, th, w, hg, bw, D, rows,
-                          weights, has_row0, shift_skip,
-                          box_stacked, join_rs, dsk),
+                          weights, has_row0, shift_skip, dsk),
         grid=(h_pad // th,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((2, th, w), lambda i: (0, i, 0),

@@ -281,7 +281,10 @@ def coarse_polyexp_fused_batch(imgs: jnp.ndarray, levels: int,
                         for (lh, lw) in coarse),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            # the leading size-1 block axis pads each out block up a
+            # tile, overflowing the usual 100M scoped budget by ~0.5M at
+            # 1080p — v5e VMEM is 128M, so grant the headroom here
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(imgs.astype(jnp.float32), *vs, *hs)
     if not isinstance(outs, (tuple, list)):

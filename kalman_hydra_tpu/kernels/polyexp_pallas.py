@@ -28,7 +28,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _polyexp_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
-                    th: int, w_out: int, stacked: bool,
+                    th: int, w_out: int,
                     in_hbm, out_ref, scratch, sem):
     """Double-buffered slab pipeline (same pattern as flow_iter): scratch
     has a 2-slot leading axis; step i computes from slot i%2 while the
@@ -56,11 +56,11 @@ def _polyexp_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
     copy(i, slot).wait()
     s = scratch[slot]                               # (th+2n, w_out+2n)
     _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
-                stacked, s, out_ref)
+                s, out_ref)
 
 
 def _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
-                stacked, s, out_ref):
+                s, out_ref):
     """Slab -> 5 coefficient planes (shared by the single-image and the
     frame-batched kernels; `s` is the VMEM slab, `out_ref` the (5, th,
     w_out) — or, batched, (1, 5, th, w_out) — output block).
@@ -78,51 +78,6 @@ def _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
         def _st(c, val):
             out_ref[c, :, :] = val
     taps = 2 * n + 1
-    if stacked:
-        # lane-stacked variant (same rationale as flow_iter box_stacked:
-        # the kernel is Mosaic-SCHEDULING bound, so fewer, wider VPU
-        # passes win even at identical FLOPs; every lane keeps the planar
-        # loops' multiply/add order — residual diffs are FMA-fusion
-        # rounding only, ~1e-6 relative).
-        # Vertical: the 3 channels (g / xg / xxg taps) run on a 3x
-        # lane-concatenated copy of the slab with a per-region weight
-        # row — 1 wide FMA per tap instead of 3.
-        wp = s.shape[1]
-        s3 = jnp.concatenate([s, s, s], axis=1)       # (rows_in, 3*wp)
-        reg = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * wp), 1) // wp
-        v = None
-        for k in range(taps):
-            wrow = jnp.where(reg == 0, jnp.float32(g[k]),
-                             jnp.where(reg == 1, jnp.float32(xg[k]),
-                                       jnp.float32(xxg[k])))
-            t = wrow * s3[k:k + th, :]
-            v = t if v is None else v + t             # [v0 | v1 | v2]
-        # Horizontal: group the 6 moments by tap weight. One g-weighted
-        # pass over the span covering all three blocks accumulates
-        # [m00 | m01 | m02] (the inter-block lanes are junk, sliced away
-        # at the end), one xg pass over two blocks gives [m10 | m11],
-        # one xxg pass gives m20 — 3 passes per tap instead of 6.
-        acc_g = acc_xg = acc_xxg = None
-        for k in range(taps):
-            tg = g[k] * v[:, k:k + 2 * wp + w_out]
-            txg = xg[k] * v[:, k:k + wp + w_out]
-            txxg = xxg[k] * v[:, k:k + w_out]
-            acc_g = tg if acc_g is None else acc_g + tg
-            acc_xg = txg if acc_xg is None else acc_xg + txg
-            acc_xxg = txxg if acc_xxg is None else acc_xxg + txxg
-        m00 = acc_g[:, 0:w_out]
-        m01 = acc_g[:, wp:wp + w_out]
-        m02 = acc_g[:, 2 * wp:2 * wp + w_out]
-        m10 = acc_xg[:, 0:w_out]
-        m11 = acc_xg[:, wp:wp + w_out]
-        m20 = acc_xxg
-        dt = out_ref.dtype
-        _st(0, (m10 * ig11).astype(dt))
-        _st(1, (m01 * ig11).astype(dt))
-        _st(2, (m00 * ig03 + m20 * ig33).astype(dt))
-        _st(3, (m00 * ig03 + m02 * ig33).astype(dt))
-        _st(4, (m11 * ig55).astype(dt))
-        return
     # (a banded-MXU vertical-tap variant was A/B'd here and measured
     # neutral on v5e — BASELINE.md round-3 "rejected" ledger, KH_PE_VMXU)
     v0 = v1 = v2 = None
@@ -163,10 +118,10 @@ def _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
 
 @functools.partial(jax.jit,
                    static_argnames=("poly_n", "poly_sigma", "out_dtype",
-                                    "tile_h", "stacked", "interpret"))
+                                    "tile_h", "interpret"))
 def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
                           out_dtype=jnp.float32,
-                          tile_h: int = 128, stacked: bool = False,
+                          tile_h: int = 128,
                           interpret: bool = False) -> jnp.ndarray:
     """(H, W) float32 -> (5, H, W) coefficient planes
     [b_x, b_y, a_xx, a_yy, axy]; same math/channels as
@@ -202,7 +157,7 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
     out = pl.pallas_call(
         functools.partial(_polyexp_kernel, n, gt, xg, xxg,
                           float(ig11), float(ig03), float(ig33), float(ig55),
-                          th, w, stacked),
+                          th, w),
         grid=(h_pad // th,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((5, th, w), lambda i: (0, i, 0),
@@ -221,7 +176,7 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
 
 
 def _polyexp_batch_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
-                          th: int, w_out: int, stacked: bool,
+                          th: int, w_out: int,
                           in_hbm, out_ref, scratch, sem):
     """Frame-batched twin of _polyexp_kernel: grid (N, n_tiles), one
     launch covers every frame's expansion (launch amortization, same
@@ -252,15 +207,15 @@ def _polyexp_batch_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
     slot = s % 2
     copy(b, i, slot).wait()
     _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
-                stacked, scratch[slot], out_ref)
+                scratch[slot], out_ref)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("poly_n", "poly_sigma", "out_dtype",
-                                    "tile_h", "stacked", "interpret"))
+                                    "tile_h", "interpret"))
 def poly_expansion_planar_batch(imgs: jnp.ndarray, poly_n: int,
                                 poly_sigma: float, out_dtype=jnp.float32,
-                                tile_h: int = 128, stacked: bool = False,
+                                tile_h: int = 128,
                                 interpret: bool = False) -> jnp.ndarray:
     """(N, H, W) float32 frames -> (N, 5, H, W) coefficient planes in ONE
     kernel launch (grid (N, n_tiles)); per-frame numerics identical to
@@ -285,7 +240,7 @@ def poly_expansion_planar_batch(imgs: jnp.ndarray, poly_n: int,
     out = pl.pallas_call(
         functools.partial(_polyexp_batch_kernel, n, gt, xg, xxg,
                           float(ig11), float(ig03), float(ig33),
-                          float(ig55), th, w, stacked),
+                          float(ig55), th, w),
         grid=(nB, h_pad // th),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 5, th, w), lambda b, i: (b, 0, i, 0),

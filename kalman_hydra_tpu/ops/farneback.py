@@ -425,15 +425,13 @@ def polyexp_pyramid(img: jnp.ndarray, cfg: FlowConfig, impl: str = "xla",
                                           out_dtype=dt, interpret=interpret)
             img0 = gaussian_blur_level(img.astype(jnp.float32), cfg, k=0)
             fine = _pe(img0, cfg.poly_n, cfg.poly_sigma, out_dtype=dt,
-                       tile_h=cfg.pe_tile_h, stacked=cfg.pe_stacked,
-                       interpret=interpret)
+                       tile_h=cfg.pe_tile_h, interpret=interpret)
             return tuple(coarse) + (fine,)
         from ..kernels.level_image_pallas import farneback_images_pallas
         imgs = farneback_images_pallas(img, cfg.levels, cfg.pyr_scale,
                                        interpret=interpret)
         return tuple(_pe(i, cfg.poly_n, cfg.poly_sigma, out_dtype=dt,
-                         tile_h=cfg.pe_tile_h, stacked=cfg.pe_stacked,
-                         interpret=interpret)
+                         tile_h=cfg.pe_tile_h, interpret=interpret)
                      for i in imgs)
     imgs = farneback_images(img, cfg.levels, cfg.pyr_scale)
     return tuple(poly_expansion_p(i, cfg.poly_n, cfg.poly_sigma).astype(dt)
@@ -490,19 +488,12 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
             _th = cfg.fi_tile_h
             R0pp = _prep(R0p, cfg.winsize, cfg.fast_warp, tile_h=_th)
             R1pp = _prep(R1p, cfg.winsize, cfg.fast_warp, tile_h=_th)
-            # fi_join_rs: both plane stacks ride ONE (10, H, W) HBM
-            # array (concat once per level) -> 2 DMAs per grid step
-            # instead of 3
-            if cfg.fi_join_rs:
-                R0pp = jnp.concatenate([R0pp, R1pp], axis=0)
-                R1pp = None
             for _ in range(cfg.iterations):
                 flow_p = _fi(R0pp, R1pp, flow_p,
                              cfg.winsize, cfg.fast_warp,
                              cfg.gaussian_win,
                              tile_h=_th,
                              shift_skip=cfg.fi_shift_skip,
-                             box_stacked=cfg.fi_box_stacked,
                              img_hw=(lh, lw),
                              interpret=interpret)
             continue
@@ -549,8 +540,7 @@ def polyexp_pyramid_batch(grays: jnp.ndarray, cfg: FlowConfig,
         img0 = gaussian_blur_level(grays.astype(jnp.float32), cfg, k=0)
         fine = poly_expansion_planar_batch(
             img0, cfg.poly_n, cfg.poly_sigma, out_dtype=dt,
-            tile_h=cfg.pe_tile_h, stacked=cfg.pe_stacked,
-            interpret=interpret)
+            tile_h=cfg.pe_tile_h, interpret=interpret)
         return tuple(coarse) + (fine,)
     imgs = farneback_images(grays, cfg.levels, cfg.pyr_scale)
     pe = jax.vmap(lambda im: poly_expansion_p(im, cfg.poly_n,
@@ -601,7 +591,6 @@ def farneback_pairs_from_pyramids(Rs_all, cfg: FlowConfig,
                     Rlp, flow_b, cfg.winsize, cfg.fast_warp, (lh, lw),
                     gaussian=cfg.gaussian_win, tile_h=_th,
                     shift_skip=cfg.fi_shift_skip,
-                    box_stacked=cfg.fi_box_stacked,
                     clip_len=clip_len,
                     interpret=interpret)
         else:

@@ -44,6 +44,12 @@ def _track_batch_jit(clips, cfg: RunConfig, with_history: bool = False,
     render_tmpl (RenderTemplate) is shared by every clip — vmap closes
     over it unmapped (broadcast), matching the replicated sharding the DP
     path uses."""
+    if cfg.pair_batch:
+        # pair-batched mode can't ride vmap (the manual-DMA kernels
+        # reject a vmapped batch dim); its multi-clip twin chains every
+        # clip's pairs through shared launches instead (clip_len)
+        return _pipeline.track_clips_pairflow(clips, cfg, with_history,
+                                              seeds)
     fn = lambda f, s: _pipeline.track_arrays(f, cfg, with_history, s,
                                              render_tmpl)
     if seeds is None:

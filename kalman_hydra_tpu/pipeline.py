@@ -512,7 +512,55 @@ def track_arrays_pairflow(frames, cfg: RunConfig,
     else:                                         # lk_dense
         flows = jax.vmap(lambda a, b: lk_ops.lk_dense(a, b, cfg.flow))(
             grays[:-1], grays[1:])
+    return _track_from_pair_flows(grays, flows, cfg, with_history, seeds)
 
+
+def track_clips_pairflow(frames_b, cfg: RunConfig,
+                         with_history: bool = False,
+                         seeds: Optional[jnp.ndarray] = None):
+    """Multi-clip pair-batched pipeline (BASELINE.json:10 "multi-clip
+    batch"): a (B, T, H, W[, 3]) clip stack runs dense flow for ALL
+    B*(T-1) frame pairs through SHARED kernel launches — the frames
+    chain as one (B*T) stack with `clip_len=T` so no pair straddles a
+    clip boundary (kernels/flow_iter_pallas.flow_iter_pairs) — then the
+    per-clip EKF/lifecycle scans run under vmap (pure XLA, so vmap
+    composes; the manual-DMA kernels, which reject a vmapped batch dim,
+    only ever see the pre-batched leading axis).
+
+    Per-clip trajectories match track_arrays on each clip
+    (tests/integration/test_pairflow.py)."""
+    impl = _effective_impl(cfg)
+    B, T = frames_b.shape[0], frames_b.shape[1]
+    grays_b = grayscale_u8(frames_b)
+    if cfg.flow.method == "farneback":
+        from .ops.farneback import (farneback_pairs_from_pyramids,
+                                    polyexp_pyramid_batch)
+        flat = grays_b.reshape((B * T,) + grays_b.shape[2:])
+        Rs = polyexp_pyramid_batch(flat, cfg.flow, impl=impl,
+                                   interpret=cfg.pallas_interpret)
+        flows = farneback_pairs_from_pyramids(
+            Rs, cfg.flow, clip_len=T, impl=impl,
+            interpret=cfg.pallas_interpret)
+        flows_b = flows.reshape((B, T - 1) + flows.shape[1:])
+    else:                                         # lk_dense
+        flows_b = jax.vmap(jax.vmap(
+            lambda a, b: lk_ops.lk_dense(a, b, cfg.flow)))(
+            grays_b[:, :-1], grays_b[:, 1:])
+    fn = functools.partial(_track_from_pair_flows, cfg=cfg,
+                           with_history=with_history)
+    if seeds is not None and seeds.ndim == 2:
+        seeds = jnp.broadcast_to(seeds, (B,) + seeds.shape)
+    if seeds is not None:
+        return jax.vmap(lambda g, f, s: fn(g, f, seeds=s))(
+            grays_b, flows_b, seeds)
+    return jax.vmap(lambda g, f: fn(g, f))(grays_b, flows_b)
+
+
+def _track_from_pair_flows(grays, flows, cfg: RunConfig,
+                           with_history: bool = False,
+                           seeds: Optional[jnp.ndarray] = None):
+    """Shared tail of the pair-batched pipelines: corner pools at the
+    refresh cadence + one EKF/lifecycle scan over precomputed flows."""
     # ---- init (mirrors init_from_frame minus the flow pyramids) ----
     gray0 = grays[0]
     mask = None

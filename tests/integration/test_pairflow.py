@@ -157,6 +157,29 @@ class TestPairflowPipeline:
                                    atol=2e-4)
         np.testing.assert_array_equal(got["track_id"], ref["track_id"])
 
+    @pytest.mark.parametrize("impl", ["xla", "pallas"])
+    def test_multi_clip_matches_per_clip(self, impl):
+        """track_clips_pairflow (BASELINE.json:10 multi-clip batch): all
+        clips' pairs share each launch via clip_len chaining; per-clip
+        trajectories match the single-clip pair pipeline."""
+        clips = np.stack([_clip(), _clip()[::-1].copy()])
+        cfg = RunConfig(flow=FB, ekf=EkfConfig(state_dim=4),
+                        tracks=TrackConfig(num_tracks=6),
+                        impl=impl, pair_batch=True,
+                        pallas_interpret=(impl == "pallas"))
+        if impl == "pallas":
+            import dataclasses
+            cfg = cfg.replace(flow=dataclasses.replace(
+                cfg.flow, fast_warp=4, bf16_poly=False))
+        seeds = self._seeds()
+        got = jax.device_get(pl.track_clips_pairflow(
+            jnp.asarray(clips), cfg, seeds=seeds))
+        for b in range(2):
+            ref = self._run(cfg, clips[b], seeds)
+            np.testing.assert_allclose(got["pos"][b], ref["pos"],
+                                       atol=2e-4)
+            np.testing.assert_array_equal(got["alive"][b], ref["alive"])
+
     def test_config_validation(self):
         with pytest.raises(ValueError, match="pair_batch"):
             RunConfig(flow=FlowConfig(method="lk_sparse"),

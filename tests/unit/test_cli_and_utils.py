@@ -96,6 +96,23 @@ def test_runconfig_json_roundtrip():
     assert cfg2 == cfg
 
 
+def test_runconfig_json_ignores_removed_fields():
+    """Old run artifacts carrying since-deleted perf-knob fields (the A/B
+    ledger retires knobs — BASELINE.md) must load with a warning, not
+    crash."""
+    import json
+    import warnings
+    from kalman_hydra_tpu.config import RunConfig
+    raw = json.loads(RunConfig().to_json())
+    raw["flow"]["fi_box_stacked"] = True      # deleted round 4
+    raw["ekf"]["some_future_knob"] = 1
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        cfg = RunConfig.from_json(json.dumps(raw))
+    assert cfg == RunConfig()
+    assert any("no longer has" in str(w.message) for w in rec)
+
+
 def test_cli_track_stream_checkpoint(tmp_path):
     clip = str(tmp_path / "clip.npz")
     out = str(tmp_path / "tracks.npz")

@@ -36,19 +36,6 @@ def test_polyexp_kernel_matches_xla(pn, ps, rng):
     assert np.abs(ref - np.moveaxis(got, 0, -1)).max() < 1e-3
 
 
-def test_polyexp_kernel_stacked_matches_planar(rng):
-    """pe_stacked=True lane-stacks the tap passes (3x-wide vertical FMA +
-    weight-grouped horizontal accumulators). Per-lane multiply/add order
-    is unchanged — residual diffs are compiler FMA-fusion rounding only
-    (~1e-6 relative measured)."""
-    img = rng.uniform(0, 255, (100, 130)).astype(np.float32)
-    base = np.asarray(poly_expansion_planar(jnp.asarray(img), 5, 1.1,
-                                            interpret=True))
-    got = np.asarray(poly_expansion_planar(jnp.asarray(img), 5, 1.1,
-                                           stacked=True, interpret=True))
-    assert np.abs(base - got).max() < 1e-4
-
-
 @pytest.mark.parametrize("gaussian", [False, True])
 def test_flow_update_kernel_matches_xla(gaussian, rng):
     h, w = 96, 128
@@ -133,45 +120,6 @@ def test_flow_iter_kernel_shift_skip_exact(rng):
         got = flow_iter(R0, R1, fl, 15, 8, False, interpret=True,
                         shift_skip=True)
         assert float(jnp.abs(got - ref).max()) < 1e-6
-
-
-def test_flow_iter_kernel_box_stacked_exact(rng):
-    """box_stacked (all 5 M planes lane-concatenated so every winsize box
-    pass is shared — 16 shifted adds instead of 80) must be bit-exact:
-    the horizontal reads never cross a plane boundary because within
-    plane span [p*mcols, (p+1)*mcols) the max read offset is
-    w - 1 + 2*bw <= mcols - 1."""
-    from kalman_hydra_tpu.kernels.flow_iter_pallas import flow_iter
-    for h, w, win in [(70, 90, 15), (64, 128, 13), (50, 200, 15)]:
-        R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
-        R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
-        fl = jnp.asarray(rng.uniform(-5, 5, (2, h, w)).astype(np.float32))
-        ref = flow_iter(R0, R1, fl, win, 8, False, interpret=True)
-        got = flow_iter(R0, R1, fl, win, 8, False, interpret=True,
-                        box_stacked=True, shift_skip=True)
-        assert float(jnp.abs(got - ref).max()) == 0.0
-
-
-def test_flow_iter_kernel_join_rs_exact(rng):
-    """join_rs (R0/R1 stacked into one (10, H, W) HBM array, 2 DMAs per
-    grid step instead of 3) must be bit-exact vs the split-slab path."""
-    from kalman_hydra_tpu.kernels.flow_iter_pallas import flow_iter
-    h, w, win = 70, 90, 15
-    R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
-    R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32))
-    fl = jnp.asarray(rng.uniform(-5, 5, (2, h, w)).astype(np.float32))
-    ref = flow_iter(R0, R1, fl, win, 8, False, interpret=True,
-                    shift_skip=True)
-    got = flow_iter(jnp.concatenate([R0, R1], axis=0), None, fl, win, 8,
-                    False, interpret=True, shift_skip=True)
-    assert float(jnp.abs(got - ref).max()) == 0.0
-    # the pipeline's prepadded img_hw route must join identically
-    from kalman_hydra_tpu.kernels.flow_iter_pallas import prep_planes
-    RJ = jnp.concatenate([prep_planes(R0, win, 8),
-                          prep_planes(R1, win, 8)], axis=0)
-    got = flow_iter(RJ, None, fl, win, 8, False, interpret=True,
-                    shift_skip=True, img_hw=(h, w))
-    assert float(jnp.abs(got - ref).max()) == 0.0
 
 
 def test_flow_iter_kernel_band_mode(rng):

@@ -98,9 +98,6 @@ def main():
         got = poly_expansion_planar(a_d, 5, 1.1)
         ref = poly_expansion_p(a_d, 5, 1.1)
         ok &= check(f"polyexp ({time.time()-t0:.0f}s)", got, ref, 1e-2)
-        # lane-stacked tap passes (FlowConfig.pe_stacked)
-        got = poly_expansion_planar(a_d, 5, 1.1, stacked=True)
-        ok &= check("polyexp pe_stack", got, ref, 1e-2)
 
     if "flow_update" in which:
         from kalman_hydra_tpu.kernels.flow_update_pallas import flow_update
@@ -143,18 +140,6 @@ def main():
         got = flow_iter(R0.astype(jnp.bfloat16), R1.astype(jnp.bfloat16),
                         fl, 15, 8, False, shift_skip=True)
         ok &= check("flow_iter shift_skip bf16", got, ref, 0.05)
-        # joined R0/R1 slab (one (10,H,W) HBM array, 2 DMAs per step)
-        got = flow_iter(jnp.concatenate([R0, R1], axis=0), None, fl,
-                        15, 8, False, shift_skip=True)
-        ok &= check("flow_iter join_rs", got, ref, 1e-3)
-        got = flow_iter(jnp.concatenate([R0, R1], axis=0)
-                        .astype(jnp.bfloat16), None, fl,
-                        15, 8, False, shift_skip=True, tile_h=64)
-        ok &= check("flow_iter join_rs bf16 th64", got, ref, 0.05)
-        # lane-stacked box/solve passes
-        got = flow_iter(R0, R1, fl, 15, 8, False, shift_skip=True,
-                        box_stacked=True)
-        ok &= check("flow_iter box_stacked", got, ref, 1e-3)
         # OPTFLOW_FARNEBACK_GAUSSIAN weights branch (round-3 verdict
         # missing #4: interpret-verified only until now)
         ref_g = update_flow_p(
