@@ -141,6 +141,20 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
     bf16 = os.environ.get("KH_BF16_POLY", "1") == "1"
     batch = int(os.environ.get("KH_BATCH", "1"))
     lk_halo = int(os.environ.get("KH_LK_HALO", "8"))
+    impl = pick_impl()
+    temporal_on = bool((temporal_init if temporal_init is not None
+                        else os.environ.get("KH_TEMPORAL_INIT", "0") == "1")
+                       and flow_method == "farneback")
+    # pair-batched pipeline default (RunConfig.pair_batch): all T-1 frame
+    # pairs share each Pallas kernel launch. Measured round-4 (BASELINE.md):
+    # +25% at cfg2 480p, +10% at cfg3 720p, neutral at 1080p on the pallas
+    # path; NEGATIVE on the XLA path (batched pads/warps blow the fusion).
+    # Default ON exactly where it wins; KH_PAIR_BATCH=0/1 overrides.
+    pb_default = impl == "pallas" and flow_method == "farneback" \
+        and not temporal_on
+    pair_batch = (os.environ.get(
+        "KH_PAIR_BATCH", "1" if pb_default else "0") == "1"
+        and flow_method in ("farneback", "lk_dense") and not temporal_on)
     # default: corr_conv solver at halo 8 with the blocked gather (154.9
     # fps measured, identical semantics to blockhalo which gives 133.8;
     # halo 4 reaches 168.9 at a tighter per-level displacement clamp —
@@ -168,24 +182,12 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
             # chained over time). Pairs with fewer iterations:
             # warm-1 = 289 fps AND lower tracking error than
             # cold-3 (tools/temporal_ab.py, BASELINE.md r3).
-            temporal_init=((temporal_init if temporal_init
-                            is not None else
-                            os.environ.get("KH_TEMPORAL_INIT",
-                                           "0") == "1")
-                           and flow_method == "farneback"),
+            temporal_init=temporal_on,
             lk_block_halo=(lk_halo if flow_method == "lk_sparse"
                            else 0),
             lk_solver=(lk_solver if flow_method == "lk_sparse"
                        else "blockhalo")))),
-        # KH_PAIR_BATCH=1: pair-batched pipeline — flow for all T-1 pairs
-        # in shared batched kernel launches before one EKF scan
-        # (RunConfig.pair_batch; amortizes the 0.57-0.60 ms/iter
-        # launch+DMA floor of BASELINE.md round-3 session-3). Cold
-        # dense-flow configs only (incompatible with temporal_init).
-        pair_batch=(os.environ.get("KH_PAIR_BATCH", "0") == "1"
-                    and flow_method in ("farneback", "lk_dense")
-                    and not (temporal_init or os.environ.get(
-                        "KH_TEMPORAL_INIT", "0") == "1")),
+        pair_batch=pair_batch,
         ekf=EkfConfig(state_dim=state_dim),
         # KH_REINIT_EVERY=N: corner-pool refresh cadence (the pool is
         # cached in the scan carry between refreshes; gated re-seeding
@@ -194,7 +196,7 @@ def bench_fused_pipeline(h, w, t, num_tracks, state_dim=6,
                            corner_pool=max(256, num_tracks),
                            reinit_every=int(os.environ.get(
                                "KH_REINIT_EVERY", "1"))),
-        impl=pick_impl())
+        impl=impl)
     log(f"config: reinit_every={cfg.tracks.reinit_every} "
         f"fast_warp={fast_warp} bf16={cfg.flow.bf16_poly} "
         f"fi_skip={cfg.flow.fi_shift_skip} fi_th={cfg.flow.fi_tile_h} "
@@ -711,6 +713,10 @@ def bench_config(n):
         from kalman_hydra_tpu.config import (FlowConfig, RunConfig,
                                              SmoothConfig, TrackConfig)
         from kalman_hydra_tpu import pipeline as pl
+        # cfg5 ran the XLA path through round 3's first measurements —
+        # every other config auto-picks the Pallas kernels; do the same
+        # (pick_impl probes Mosaic BEFORE this process touches the TPU)
+        impl5 = pick_impl()
         cfg = RunConfig(
             flow=FlowConfig(levels=3,
                             fast_warp=int(os.environ.get("KH_FAST_WARP",
@@ -722,10 +728,11 @@ def bench_config(n):
                                reinit_every=int(os.environ.get(
                                    "KH_REINIT_EVERY", "1"))),
             smooth=SmoothConfig(enabled=True),
-            # cfg5 ran the XLA path through round 3's first measurements —
-            # every other config auto-picks the Pallas kernels; do the same
-            # (pick_impl probes Mosaic BEFORE this process touches the TPU)
-            impl=pick_impl())
+            # pair-batched flow precompute composes with the monolithic
+            # RTS (parity 2e-6 on CPU; silicon A/B in BASELINE.md round-4)
+            pair_batch=(os.environ.get(
+                "KH_PAIR_BATCH", "1" if impl5 == "pallas" else "0") == "1"),
+            impl=impl5)
         frames, _ = make_clip(33, 480, 854)
         frames_d = jnp.asarray(frames)
         t_frames = len(frames)
