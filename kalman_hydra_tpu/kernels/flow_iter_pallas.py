@@ -113,9 +113,7 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
 
     r0_sl = r0_s[slot]
     r1_sl = r1_s[slot]
-    wp = r0_s.shape[3]
     base = hb - bw
-    mcols = w + 2 * bw
     if "dma" in diag_skip:
         # diagnostic floor: DMA + launch only, no compute. Output still
         # depends on all three slabs so nothing is DCE'd.
@@ -126,6 +124,30 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                                     base:base + w].astype(jnp.float32))
         out_ref[1, :, :] = fl_s[slot, 1, D:D + th, base:base + w]
         return
+    accs = (vacc, racc) if shift_skip else ()
+    return _tile_body(th, w, h, bw, D, weights, shift_skip, diag_skip,
+                      i * th - bw + row0, r0_sl, r1_sl, fl_s, slot,
+                      out_ref, accs)
+
+
+def _tile_body(th, w, h, bw, D, weights, shift_skip, diag_skip, tile_lo,
+               r0_sl, r1_sl, fl_s, slot, out_ref, accs):
+    """The shared per-tile compute of the fused Farneback iteration —
+    in-VMEM select-sum warp, averaged-matrix normal equations, OpenCV
+    border damping + M edge replication, then _box_solve. The single-pair
+    kernel (_flow_iter_kernel) and the pair-batched kernel
+    (_flow_iter_pairs_kernel) differ ONLY in grid/DMA plumbing and both
+    delegate here, so a numerics change cannot desynchronize them.
+
+    tile_lo: GLOBAL image row of the M region's first row
+    (i*th - bw, plus row0 in the spatially-sharded band mode); h/w are
+    the GLOBAL image dims the border logic replicates at."""
+    if shift_skip:
+        vacc, racc = accs
+    hb = bw + D
+    mrows = th + 2 * bw
+    base = hb - bw
+    mcols = w + 2 * bw
     # warp accumulation stays f32 even for bf16 slabs (a bf16-accumulation
     # variant measured -7.5% fps — BASELINE.md round-3 rejected ledger)
     R1 = r1_sl.astype(jnp.float32)
@@ -236,7 +258,7 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
     # + guarded dr^2 row pass — was A/B'd here and measured neutral at
     # bench level; BASELINE.md round-3 session-3 ledger)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 0) \
-        + i * th - bw + row0
+        + tile_lo
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 1) - bw
     if "border" not in diag_skip and "damp" not in diag_skip:
         # damping varies only along each axis: build the two 1-D tapers
@@ -292,7 +314,6 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
                 # out-of-image M rows to replicate — guard the
                 # 5 x (2 reduce + 2 select) passes on a scalar so
                 # interior tiles skip them entirely
-                tile_lo = i * th - bw + row0
                 at_border = (tile_lo < 0) | (tile_lo + mrows > h)
                 m0, m1, m2, m3, m4 = jax.lax.cond(at_border, row_fix,
                                                   lambda ms: ms,
@@ -427,17 +448,13 @@ def _flow_iter_pairs_kernel(th: int, w: int, h: int, bw: int, D: int,
     duplication. The double-buffered slab pipeline runs over the LINEAR
     step index s = b * n_tiles + i, so the tile-(b, i+1) / pair-(b+1)
     DMAs overlap this step's compute exactly as in the single-pair
-    kernel. Per-pair math is identical to _flow_iter_kernel (shift_skip
-    variant only)."""
-    if shift_skip:
-        vacc, racc = accs
+    kernel. Per-pair math is the SAME CODE as _flow_iter_kernel — both
+    kernels delegate to _tile_body (no diag_skip / band mode here)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     nb = pl.num_programs(0)
     nt = pl.num_programs(1)
     s = b * nt + i
-    hb = bw + D
-    mrows = th + 2 * bw
 
     def frame_of(bb):
         if ppc > 0:
@@ -473,131 +490,9 @@ def _flow_iter_pairs_kernel(th: int, w: int, h: int, bw: int, D: int,
     for c in copies(b, i, slot):
         c.wait()
 
-    r0_sl = r0_s[slot]
-    r1_sl = r1_s[slot]
-    wp = r0_s.shape[3]
-    base = hb - bw
-    mcols = w + 2 * bw
-    R1 = r1_sl.astype(jnp.float32)
-    wdt = R1.dtype
-    flm = fl_s[slot, :, D:D + mrows, :].astype(jnp.float32)
-    dx = flm[0]
-    dy = flm[1]
-
-    # ---- in-VMEM select-sum bilinear warp of R1 by (dx, dy) ----
-    dxc = jnp.clip(dx, -D, D)
-    dyc = jnp.clip(dy, -D, D)
-    y_idx = jnp.floor(dyc).astype(jnp.int32)
-    x_idx = jnp.floor(dxc).astype(jnp.int32)
-    ay = (dyc - y_idx.astype(jnp.float32))[None]
-    ax = (dxc - x_idx.astype(jnp.float32))[None]
-    ay2 = ay[0]
-    xm = x_idx[:, base:base + mcols]
-    axm2 = ax[0, :, base:base + mcols]
-
-    if shift_skip:
-        ymin = jnp.min(y_idx[:, :w + 2 * hb])
-        ymax = jnp.max(y_idx[:, :w + 2 * hb])
-        vacc[...] = jnp.zeros_like(vacc)
-        for j in range(2 * D + 2):
-            @pl.when((j >= ymin + D) & (j <= ymax + D + 1))
-            def _vterm(j=j):
-                wj = jnp.where(y_idx == (j - D), 1.0 - ay2, 0.0)
-                if j >= 1:
-                    wj = wj + jnp.where(y_idx == (j - 1 - D), ay2, 0.0)
-                vacc[...] += wj.astype(wdt)[None] * R1[:, j:j + mrows, :]
-        v = vacc[...]
-        xmin = jnp.min(xm)
-        xmax = jnp.max(xm)
-        racc[...] = jnp.zeros_like(racc)
-        for j in range(2 * D + 2):
-            sh = j - D
-
-            @pl.when((j >= xmin + D) & (j <= xmax + D + 1))
-            def _hterm(j=j, sh=sh):
-                wj = jnp.where(xm == sh, 1.0 - axm2, 0.0)
-                if j >= 1:
-                    wj = wj + jnp.where(xm == sh - 1, axm2, 0.0)
-                racc[...] += (wj.astype(wdt)[None]
-                              * v[:, :, base + sh:base + sh + mcols])
-        R1w = racc[...]
-    else:
-        v = None
-        for j in range(2 * D + 2):
-            wj = jnp.where(y_idx == (j - D), 1.0 - ay2, 0.0)
-            if j >= 1:
-                wj = wj + jnp.where(y_idx == (j - 1 - D), ay2, 0.0)
-            t = wj.astype(wdt)[None] * R1[:, j:j + mrows, :]
-            v = t if v is None else v + t
-        R1w = None
-        for j in range(2 * D + 2):
-            sh = j - D
-            wj = jnp.where(xm == sh, 1.0 - axm2, 0.0)
-            if j >= 1:
-                wj = wj + jnp.where(xm == sh - 1, axm2, 0.0)
-            t = (wj.astype(wdt)[None]
-                 * v[:, :, base + sh:base + sh + mcols])
-            R1w = t if R1w is None else R1w + t
-
-    # ---- averaged-matrix normal equations (update_matrices_p) ----
-    R1w = R1w.astype(jnp.float32)
-    R0 = r0_sl[:, D:D + mrows, hb - bw:hb - bw + w + 2 * bw].astype(
-        jnp.float32)
-    dxm = dx[:, hb - bw:hb - bw + w + 2 * bw]
-    dym = dy[:, hb - bw:hb - bw + w + 2 * bw]
-    a_xx = (R0[2] + R1w[2]) * 0.5
-    a_yy = (R0[3] + R1w[3]) * 0.5
-    axy = (R0[4] + R1w[4]) * 0.25
-    db_x = (R0[0] - R1w[0]) * 0.5 + a_xx * dxm + axy * dym
-    db_y = (R0[1] - R1w[1]) * 0.5 + axy * dxm + a_yy * dym
-
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 0) \
-        + i * th - bw
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 1) - bw
-    damp = _damp_vec(row_ids[:, 0:1], h) * _damp_vec(col_ids[0:1, :], w)
-    a_xx = a_xx * damp
-    a_yy = a_yy * damp
-    axy = axy * damp
-    db_x = db_x * damp
-    db_y = db_y * damp
-
-    m0 = a_xx * a_xx + axy * axy
-    m1 = (a_xx + a_yy) * axy
-    m2 = a_yy * a_yy + axy * axy
-    m3 = a_xx * db_x + axy * db_y
-    m4 = axy * db_x + a_yy * db_y
-
-    # ---- replicate M at the IMAGE borders (XLA parity) ----
-    ir = row_ids[:, 0:1]
-    ic = col_ids[0:1, :]
-    top_sel = (ir == 0)
-    bot_sel = (ir == h - 1)
-
-    def row_fix(ms):
-        out = []
-        for m in ms:
-            top_row = jnp.sum(jnp.where(top_sel, m, 0.0), axis=0,
-                              keepdims=True)
-            bot_row = jnp.sum(jnp.where(bot_sel, m, 0.0), axis=0,
-                              keepdims=True)
-            m = jnp.where(ir < 0, top_row, m)
-            m = jnp.where(ir > h - 1, bot_row, m)
-            out.append(m)
-        return tuple(out)
-
-    tile_lo = i * th - bw
-    at_border = (tile_lo < 0) | (tile_lo + mrows > h)
-    m0, m1, m2, m3, m4 = jax.lax.cond(at_border, row_fix,
-                                      lambda ms: ms, (m0, m1, m2, m3, m4))
-
-    def col_fix(m):
-        m = jnp.where(ic < 0, m[:, bw:bw + 1], m)
-        m = jnp.where(ic > w - 1, m[:, w + bw - 1:w + bw], m)
-        return m
-
-    m0, m1, m2, m3, m4 = (col_fix(m) for m in (m0, m1, m2, m3, m4))
-    return _box_solve(th, w, bw, weights, frozenset(),
-                      out_ref, (m0, m1, m2, m3, m4))
+    return _tile_body(th, w, h, bw, D, weights, shift_skip, frozenset(),
+                      i * th - bw, r0_s[slot], r1_s[slot], fl_s, slot,
+                      out_ref, accs)
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "max_disp",

@@ -171,6 +171,30 @@ def _levels_polyexp_kernel(nlev: int, n: int, taps, igs, out_dtype,
         _st(4, (m11 * ig55).astype(out_dtype))
 
 
+def _coarse_polyexp_setup(h: int, w: int, levels: int, pyr_scale: float,
+                          poly_n: int, poly_sigma: float):
+    """Shared host-side setup of the fused coarse-polyexp kernels
+    (single-frame and frame-batched twins): polyexp taps + inverse-Gram
+    scalars, the coarse (lh, lw) plan entries, and the padded band
+    matrices as device arrays. Single owner so the coefficient math
+    cannot desynchronize between the twins."""
+    from ..ops.farneback import _poly_inv_gram
+    n = poly_n
+    g, ig11, ig03, ig33, ig55 = _poly_inv_gram(n, float(poly_sigma))
+    i = np.arange(-n, n + 1, dtype=np.float32)
+    taps = (tuple(np.float32(v) for v in g),
+            tuple(np.float32(v) for v in (i * g)),
+            tuple(np.float32(v) for v in (i * i * g)))
+    igs = (float(ig11), float(ig03), float(ig33), float(ig55))
+
+    plan = farneback_levels(h, w, levels, pyr_scale)
+    mats = _band_mats_padded(h, w, levels, float(pyr_scale), n)
+    coarse = [(lh, lw) for (k, lh, lw, _s, _ks) in plan if k != 0]
+    vs = [jnp.asarray(mats[i][0]) for i, p in enumerate(plan) if p[0] != 0]
+    hs = [jnp.asarray(mats[i][1]) for i, p in enumerate(plan) if p[0] != 0]
+    return taps, igs, coarse, vs, hs
+
+
 @functools.partial(jax.jit, static_argnames=("levels", "pyr_scale",
                                              "poly_n", "poly_sigma",
                                              "out_dtype", "interpret"))
@@ -188,23 +212,12 @@ def coarse_polyexp_fused(img: jnp.ndarray, levels: int, pyr_scale: float,
     one launch). Fuses what used to be 1 levels launch + (nlev-1)
     polyexp launches, and drops the level-image HBM round trip.
     """
-    from ..ops.farneback import _poly_inv_gram
     h, w = img.shape
     n = poly_n
-    g, ig11, ig03, ig33, ig55 = _poly_inv_gram(n, float(poly_sigma))
-    i = np.arange(-n, n + 1, dtype=np.float32)
-    taps = (tuple(np.float32(v) for v in g),
-            tuple(np.float32(v) for v in (i * g)),
-            tuple(np.float32(v) for v in (i * i * g)))
-    igs = (float(ig11), float(ig03), float(ig33), float(ig55))
-
-    plan = farneback_levels(h, w, levels, pyr_scale)
-    mats = _band_mats_padded(h, w, levels, float(pyr_scale), n)
-    coarse = [(lh, lw) for (k, lh, lw, _s, _ks) in plan if k != 0]
+    taps, igs, coarse, vs, hs = _coarse_polyexp_setup(
+        h, w, levels, pyr_scale, poly_n, poly_sigma)
     if not coarse:
         return []
-    vs = [jnp.asarray(mats[i][0]) for i, p in enumerate(plan) if p[0] != 0]
-    hs = [jnp.asarray(mats[i][1]) for i, p in enumerate(plan) if p[0] != 0]
     nl = len(coarse)
     outs = pl.pallas_call(
         functools.partial(_levels_polyexp_kernel, nl, n, taps, igs,
@@ -244,23 +257,12 @@ def coarse_polyexp_fused_batch(imgs: jnp.ndarray, levels: int,
     (grid (N,)): per-frame numerics identical; N frames share the band
     matrices and the launch cost (flow_iter_pairs rationale). Returns a
     list of (N, 5, lh, lw) arrays aligned with the coarse plan entries."""
-    from ..ops.farneback import _poly_inv_gram
     nB, h, w = imgs.shape
     n = poly_n
-    g, ig11, ig03, ig33, ig55 = _poly_inv_gram(n, float(poly_sigma))
-    i = np.arange(-n, n + 1, dtype=np.float32)
-    taps = (tuple(np.float32(v) for v in g),
-            tuple(np.float32(v) for v in (i * g)),
-            tuple(np.float32(v) for v in (i * i * g)))
-    igs = (float(ig11), float(ig03), float(ig33), float(ig55))
-
-    plan = farneback_levels(h, w, levels, pyr_scale)
-    mats = _band_mats_padded(h, w, levels, float(pyr_scale), n)
-    coarse = [(lh, lw) for (k, lh, lw, _s, _ks) in plan if k != 0]
+    taps, igs, coarse, vs, hs = _coarse_polyexp_setup(
+        h, w, levels, pyr_scale, poly_n, poly_sigma)
     if not coarse:
         return []
-    vs = [jnp.asarray(mats[i][0]) for i, p in enumerate(plan) if p[0] != 0]
-    hs = [jnp.asarray(mats[i][1]) for i, p in enumerate(plan) if p[0] != 0]
     nl = len(coarse)
     in_specs = [pl.BlockSpec((1, h, w), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM)]

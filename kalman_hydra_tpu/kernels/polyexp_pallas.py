@@ -27,6 +27,32 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pe_setup(h: int, w: int, poly_n: int, poly_sigma: float, out_dtype,
+              tile_h: int):
+    """Shared host-side setup of the single-image and frame-batched
+    polyexp kernels (taps, inverse-Gram scalars, tile/pad geometry) —
+    single owner so the coefficient math and the alignment policy cannot
+    desynchronize between the twins."""
+    n = poly_n
+    g, ig11, ig03, ig33, ig55 = _poly_inv_gram(n, float(poly_sigma))
+    i = np.arange(-n, n + 1, dtype=np.float32)
+    gt = tuple(np.float32(v) for v in g)
+    xg = tuple(np.float32(v) for v in (i * g))
+    xxg = tuple(np.float32(v) for v in (i * i * g))
+    igs = (float(ig11), float(ig03), float(ig33), float(ig55))
+
+    # bf16 outputs pack (16, 128) register tiles: the out-block sublane
+    # extent must honor that alignment. Round tile_h UP to it (same
+    # policy as fi_geometry): a misaligned tile height makes the i*th
+    # DMA offsets tile-unaligned, which Mosaic rejects on hardware ONLY.
+    align = 16 if jnp.dtype(out_dtype).itemsize < 4 else 8
+    th = min(_round_up(int(tile_h), align), _round_up(h, align))
+    h_pad = ((h + th - 1) // th) * th
+    rows_in = _round_up(th + 2 * n, 8)
+    wp = _round_up(w + 2 * n, 128)
+    return (gt, xg, xxg), igs, th, h_pad, rows_in, wp
+
+
 def _polyexp_kernel(n: int, g, xg, xxg, ig11, ig03, ig33, ig55,
                     th: int, w_out: int,
                     in_hbm, out_ref, scratch, sem):
@@ -134,30 +160,14 @@ def poly_expansion_planar(img: jnp.ndarray, poly_n: int, poly_sigma: float,
     # cv2 semantics: poly_n IS the half-width (poly_n=5 -> 11 taps), matching
     # ops.farneback.farneback's call poly_expansion(img, cfg.poly_n, ...)
     n = poly_n
-    g, ig11, ig03, ig33, ig55 = _poly_inv_gram(n, float(poly_sigma))
-    i = np.arange(-n, n + 1, dtype=np.float32)
-    gt = tuple(np.float32(v) for v in g)
-    xg = tuple(np.float32(v) for v in (i * g))
-    xxg = tuple(np.float32(v) for v in (i * i * g))
-
-    # bf16 outputs pack (16, 128) register tiles: the out-block sublane
-    # extent must honor that alignment.
-    align = 16 if jnp.dtype(out_dtype).itemsize < 4 else 8
-    # round tile_h UP to the sublane alignment (same policy as
-    # fi_geometry): a misaligned tile height makes the i*th DMA offsets
-    # tile-unaligned, which Mosaic rejects on hardware ONLY
-    th = min(_round_up(int(tile_h), align), _round_up(h, align))
-    h_pad = ((h + th - 1) // th) * th
-    rows_in = _round_up(th + 2 * n, 8)
-    wp = _round_up(w + 2 * n, 128)
+    (gt, xg, xxg), igs, th, h_pad, rows_in, wp = _pe_setup(
+        h, w, poly_n, poly_sigma, out_dtype, tile_h)
     xp = jnp.pad(img, ((n, n), (n, n)), mode="edge")      # replicate
     xp = jnp.pad(xp, ((0, h_pad - h + rows_in - (th + 2 * n)),
                       (0, wp - (w + 2 * n))))
 
     out = pl.pallas_call(
-        functools.partial(_polyexp_kernel, n, gt, xg, xxg,
-                          float(ig11), float(ig03), float(ig33), float(ig55),
-                          th, w),
+        functools.partial(_polyexp_kernel, n, gt, xg, xxg, *igs, th, w),
         grid=(h_pad // th,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((5, th, w), lambda i: (0, i, 0),
@@ -222,25 +232,15 @@ def poly_expansion_planar_batch(imgs: jnp.ndarray, poly_n: int,
     poly_expansion_planar."""
     nB, h, w = imgs.shape
     n = poly_n
-    g, ig11, ig03, ig33, ig55 = _poly_inv_gram(n, float(poly_sigma))
-    i = np.arange(-n, n + 1, dtype=np.float32)
-    gt = tuple(np.float32(v) for v in g)
-    xg = tuple(np.float32(v) for v in (i * g))
-    xxg = tuple(np.float32(v) for v in (i * i * g))
-
-    align = 16 if jnp.dtype(out_dtype).itemsize < 4 else 8
-    th = min(_round_up(int(tile_h), align), _round_up(h, align))
-    h_pad = ((h + th - 1) // th) * th
-    rows_in = _round_up(th + 2 * n, 8)
-    wp = _round_up(w + 2 * n, 128)
+    (gt, xg, xxg), igs, th, h_pad, rows_in, wp = _pe_setup(
+        h, w, poly_n, poly_sigma, out_dtype, tile_h)
     xp = jnp.pad(imgs, ((0, 0), (n, n), (n, n)), mode="edge")
     xp = jnp.pad(xp, ((0, 0), (0, h_pad - h + rows_in - (th + 2 * n)),
                       (0, wp - (w + 2 * n))))
 
     out = pl.pallas_call(
-        functools.partial(_polyexp_batch_kernel, n, gt, xg, xxg,
-                          float(ig11), float(ig03), float(ig33),
-                          float(ig55), th, w),
+        functools.partial(_polyexp_batch_kernel, n, gt, xg, xxg, *igs,
+                          th, w),
         grid=(nB, h_pad // th),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 5, th, w), lambda b, i: (b, 0, i, 0),

@@ -528,9 +528,18 @@ def polyexp_pyramid_batch(grays: jnp.ndarray, cfg: FlowConfig,
     — on the pallas path every frame shares ONE coarse-fused launch and
     ONE full-res polyexp launch (kernels/{level_image,polyexp}_pallas
     *_batch; launch amortization, BASELINE.md round-3 session-3).
-    Per-frame numerics identical to polyexp_pyramid."""
+    Per-frame math identical to polyexp_pyramid (bit-level modulo XLA
+    fusion-order rounding, ~1e-6 relative)."""
     dt = jnp.bfloat16 if cfg.bf16_poly else jnp.float32
     if impl == "pallas":
+        if not cfg.pe_fused:
+            # honor the pe_fused=False per-stage fallback (same contract
+            # as polyexp_pyramid) — the per-stage kernels' manual DMA
+            # rejects a vmapped batch dim, so map frames sequentially;
+            # this keeps pe_fused A/Bs honest under pair_batch
+            return jax.lax.map(
+                lambda im: polyexp_pyramid(im, cfg, impl=impl,
+                                           interpret=interpret), grays)
         from ..kernels.level_image_pallas import coarse_polyexp_fused_batch
         from ..kernels.polyexp_pallas import poly_expansion_planar_batch
         from .pyramid import gaussian_blur_level

@@ -1,15 +1,13 @@
 """Stage timing v3: where the PALLAS-path 1080p pipeline (flow_iter +
 polyexp kernels, bf16 planes) spends its ~9 ms/frame. Run solo on TPU."""
 
-import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
-# default to the round-3 bench winners (BASELINE.md round-3 table);
-# override per-run to A/B. Read at trace time.
-# (fi_shift_skip/fi_tile_h winners are FlowConfig defaults now)
+# the round-3 bench winners (fi_shift_skip/fi_tile_h) are FlowConfig
+# defaults now — every stage below times the production kernel config
 
 
 def marginal(fn, args, r1=1, r2=5):
@@ -82,9 +80,11 @@ def main():
         return jnp.sum(out[::64, ::64])
 
     def t_fine_iter(flow, acc):
+        # production kernel config = the FlowConfig defaults (KH_FI_* env
+        # knobs were retired round-4); keep this stage consistent with the
+        # fcfg-driven stages above
         out = flow_iter(R0f, R1f, flow + acc * 1e-20, fcfg.winsize, 8, False,
-                        tile_h=int(os.environ.get("KH_FI_TH", "0")),
-                        shift_skip=os.environ.get("KH_FI_SKIP", "0") == "1")
+                        tile_h=fcfg.fi_tile_h, shift_skip=fcfg.fi_shift_skip)
         return jnp.sum(out[:, ::64, ::64])
 
     def t_corner(a, acc):
