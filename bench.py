@@ -508,8 +508,9 @@ def bench_flow_pixel_ekf(h=480, w=854, t=9):
     from kalman_hydra_tpu.config import FlowConfig, RunConfig
 
     cfg = RunConfig(
-        flow=FlowConfig(fast_warp=int(os.environ.get("KH_FAST_WARP", "8")),
-                        bf16_poly=os.environ.get("KH_BF16_POLY", "1") == "1"),
+        flow=FlowConfig(**_env_flow_overrides(dict(
+            fast_warp=int(os.environ.get("KH_FAST_WARP", "8")),
+            bf16_poly=os.environ.get("KH_BF16_POLY", "1") == "1"))),
         impl=os.environ.get("KH_IMPL", "xla"))
     frames, _ = make_clip(t, h, w)
     frames_d = jnp.asarray(frames)
@@ -718,10 +719,10 @@ def bench_config(n):
         # (pick_impl probes Mosaic BEFORE this process touches the TPU)
         impl5 = pick_impl()
         cfg = RunConfig(
-            flow=FlowConfig(levels=3,
-                            fast_warp=int(os.environ.get("KH_FAST_WARP",
-                                                         "8")),
-                            bf16_poly=True),
+            flow=FlowConfig(**_env_flow_overrides(dict(
+                levels=3,
+                fast_warp=int(os.environ.get("KH_FAST_WARP", "8")),
+                bf16_poly=True))),
             # same corner-pool refresh cadence as the other configs
             # (KH_REINIT_EVERY; gated re-init itself stays per-frame)
             tracks=TrackConfig(num_tracks=256,

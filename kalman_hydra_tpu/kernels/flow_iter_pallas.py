@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._store import batched_store
 from ..ops.filters import gaussian_kernel
 # OpenCV's border taper — single source of truth is the XLA twin
 # (ops/farneback.py); every kernel that damps borders shares this
@@ -341,16 +342,9 @@ def _box_solve(th, w, bw, weights, diag_skip, out_ref, ms_in):
     box passes are not the kernel's cost.)
 
     out_ref is (2, th, w) or, from the pair-batched kernel, (1, 2, th, w)
-    — written with a scalar leading 0 (an .at[0] view materializes a
-    Mosaic memref_slice whose last-two extents must be (8,128)-aligned,
-    rejecting any unaligned level width on hardware; interpret mode does
-    not model this)."""
-    if len(out_ref.shape) == 4:
-        def _st(c, val):
-            out_ref[0, c, :, :] = val
-    else:
-        def _st(c, val):
-            out_ref[c, :, :] = val
+    — written through the shared scalar-leading-index idiom
+    (kernels/_store.py — .at[0] views reject on hardware)."""
+    _st = batched_store(out_ref)
     m0, m1, m2, m3, m4 = ms_in
     taps = 2 * bw + 1
     box_split = weights is None        # uniform box, 3xA factored
@@ -430,6 +424,21 @@ def fi_geometry(h: int, w: int, winsize: int, max_disp: int,
     extra = rows - (th + 2 * hb)
     wp = _round_up(w + 2 * hb + 1, 128)
     return th, h_pad, rows, extra, wp, hb, bw
+
+
+def _window_weights(winsize: int, gaussian: bool):
+    """winsize-smoothing tap weights shared by flow_iter and
+    flow_iter_pairs: the cv2 Gaussian window (sigma = (winsize//2)*0.3),
+    None for a 3-divisible uniform box (the kernel then uses the factored
+    3xA tap path), or explicit uniform taps otherwise."""
+    n = 2 * (winsize // 2) + 1
+    if gaussian:
+        kern = gaussian_kernel(n, (winsize // 2) * 0.3).astype(np.float64)
+        return tuple(np.float32(v) for v in kern)
+    if n % 3 == 0:
+        return None                 # uniform box: factored 3xA taps
+    kern = np.full(n, 1.0 / n, dtype=np.float64)
+    return tuple(np.float32(v) for v in kern)
 
 
 def _flow_iter_pairs_kernel(th: int, w: int, h: int, bw: int, D: int,
@@ -531,16 +540,7 @@ def flow_iter_pairs(Rall: jnp.ndarray, flow_b: jnp.ndarray,
                              f"{(N // clip_len) * ppc} pairs, got {B}")
     elif B != N - 1:
         raise ValueError(f"expected B = N - 1 = {N - 1} pairs, got {B}")
-    if gaussian:
-        kern = gaussian_kernel(2 * (winsize // 2) + 1,
-                               (winsize // 2) * 0.3).astype(np.float64)
-        weights = tuple(np.float32(v) for v in kern)
-    elif (2 * (winsize // 2) + 1) % 3 == 0:
-        weights = None
-    else:
-        kern = np.full(2 * (winsize // 2) + 1,
-                       1.0 / (2 * (winsize // 2) + 1), dtype=np.float64)
-        weights = tuple(np.float32(v) for v in kern)
+    weights = _window_weights(winsize, gaussian)
 
     th, h_pad, rows, extra, wp, hb, bw = fi_geometry(
         h, w, winsize, max_disp, tile_h, Rall.dtype.itemsize)
@@ -640,16 +640,7 @@ def flow_iter(R0p: jnp.ndarray, R1p: jnp.ndarray, flow_p: jnp.ndarray,
     else:
         _, h, w = R0p.shape
     D = int(max_disp)
-    if gaussian:
-        kern = gaussian_kernel(2 * (winsize // 2) + 1,
-                               (winsize // 2) * 0.3).astype(np.float64)
-        weights = tuple(np.float32(v) for v in kern)
-    elif (2 * (winsize // 2) + 1) % 3 == 0:
-        weights = None              # uniform box: factored 3xA taps
-    else:
-        kern = np.full(2 * (winsize // 2) + 1,
-                       1.0 / (2 * (winsize // 2) + 1), dtype=np.float64)
-        weights = tuple(np.float32(v) for v in kern)
+    weights = _window_weights(winsize, gaussian)
 
     th, h_pad, rows, extra, wp, hb, bw = fi_geometry(
         h, w, winsize, max_disp, tile_h, R0p.dtype.itemsize)

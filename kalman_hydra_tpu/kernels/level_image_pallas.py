@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._store import batched_store
 from ..ops.filters import gaussian_kernel
 from ..ops.pyramid import farneback_levels
 
@@ -118,20 +119,13 @@ def _levels_polyexp_kernel(nlev: int, n: int, taps, igs, out_dtype,
     vs = refs[:nlev]
     hs = refs[nlev:2 * nlev]
     outs = refs[2 * nlev:]
-    # batched refs carry a leading size-1 block axis and are written with
-    # a scalar leading 0 index (an .at[0] view materializes a Mosaic
-    # memref_slice whose unaligned coarse-level extents reject on
-    # hardware; scalar-indexed stores over the full last-two extents are
-    # the verified pattern)
+    # batched refs carry a leading size-1 block axis, written through the
+    # shared scalar-leading-index idiom (kernels/_store.py — .at[0] views
+    # reject on hardware for the unaligned coarse-level extents)
     img = img_ref[0] if len(img_ref.shape) == 3 else img_ref[:]
     ntaps = 2 * n + 1
     for vm, hm, o in zip(vs, hs, outs):
-        if len(o.shape) == 4:
-            def _st(c, val, o=o):
-                o[0, c, :, :] = val
-        else:
-            def _st(c, val, o=o):
-                o[c, :, :] = val
+        _st = batched_store(o)
         t = jax.lax.dot(vm[:], img, precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
         Lp = jax.lax.dot(t, hm[:], precision=jax.lax.Precision.HIGHEST,

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._store import batched_store
 from ..ops.farneback import _poly_inv_gram
 
 
@@ -91,18 +92,9 @@ def _pe_compute(n, g, xg, xxg, ig11, ig03, ig33, ig55, th, w_out,
     frame-batched kernels; `s` is the VMEM slab, `out_ref` the (5, th,
     w_out) — or, batched, (1, 5, th, w_out) — output block).
 
-    Batched refs are indexed with a scalar leading 0 rather than viewed
-    via .at[0]: an .at view materializes a Mosaic memref_slice whose
-    last-two extents must be (8,128)-aligned, which rejects on hardware
-    for any non-aligned w_out (interpret mode does not model this);
-    scalar-indexed stores over the FULL last-two extents are the
-    hardware-verified pattern."""
-    if len(out_ref.shape) == 4:
-        def _st(c, val):
-            out_ref[0, c, :, :] = val
-    else:
-        def _st(c, val):
-            out_ref[c, :, :] = val
+    Batched refs are written through the shared scalar-leading-index
+    idiom (kernels/_store.py — .at[0] views reject on hardware)."""
+    _st = batched_store(out_ref)
     taps = 2 * n + 1
     # (a banded-MXU vertical-tap variant was A/B'd here and measured
     # neutral on v5e — BASELINE.md round-3 "rejected" ledger, KH_PE_VMXU)

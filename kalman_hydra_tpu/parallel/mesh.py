@@ -97,12 +97,56 @@ def track_clips_sharded(clips: np.ndarray, cfg: RunConfig,
     tmpl_d = (None if render_tmpl is None
               else jax.device_put(render_tmpl, NamedSharding(mesh, P())))
 
-    outs, metrics = _track_sharded_jit(clips_d, cfg, reduce_metrics,
-                                       seeds_d, tmpl_d)
+    if cfg.pair_batch:
+        # pair-batched mode can't ride a vmapped batch dim over the
+        # manual-DMA kernels (same constraint as _track_batch_jit), so the
+        # DP path shard_maps the multi-clip pairflow pipeline: each device
+        # chains its LOCAL clip shard through shared kernel launches
+        # (track_clips_pairflow's clip_len chaining), keeping both the DP
+        # contract (BASELINE.json:11) and the shared-launch contract
+        # (BASELINE.json:10) on the pallas path. render channels are
+        # excluded from pair_batch by RunConfig validation, so tmpl_d is
+        # necessarily None here.
+        outs, metrics = _track_sharded_pairflow(
+            clips_d, cfg, mesh, axis, seeds_d)
+        if not reduce_metrics:
+            metrics = None
+    else:
+        outs, metrics = _track_sharded_jit(clips_d, cfg, reduce_metrics,
+                                           seeds_d, tmpl_d)
     trajs = _to_trajectories(jax.device_get(outs))
     if reduce_metrics:
         return trajs, jax.device_get(metrics)
     return trajs
+
+
+def _track_sharded_pairflow(clips_d, cfg: RunConfig, mesh: Mesh, axis: str,
+                            seeds_d=None):
+    """DP-sharded pair-batched pipeline: shard_map of the multi-clip
+    pairflow path over the data mesh (one pair-batched kernel launch set
+    per device, clips chained via clip_len — never a vmapped batch dim on
+    the manual-DMA kernels). Metrics are pmean-reduced over the mesh axis
+    — the DP path's only collective."""
+    def local(clips, seeds=None):
+        outs = _pipeline.track_clips_pairflow(clips, cfg, False, seeds)
+        metrics = {
+            "mean_nis": jax.lax.pmean(jnp.mean(outs["nis"]), axis),
+            "live_fraction": jax.lax.pmean(
+                jnp.mean(outs["alive"].astype(jnp.float32), axis=(0, 2)),
+                axis),
+        }
+        return outs, metrics
+
+    # check_vma=False: pallas_call inside the mapped body carries no
+    # varying-mesh-axes annotation (same pattern as parallel/spatial.py)
+    if seeds_d is None:
+        fn = jax.shard_map(lambda c: local(c), mesh=mesh,
+                           in_specs=(P(axis),), out_specs=(P(axis), P()),
+                           check_vma=False)
+        return jax.jit(fn)(clips_d)
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
+                       out_specs=(P(axis), P()), check_vma=False)
+    return jax.jit(fn)(clips_d, seeds_d)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "reduce_metrics"))

@@ -135,3 +135,26 @@ def test_sharded_render_channel_equals_single(clip_batch):
         # -> float noise at ~1e-6 relative
         np.testing.assert_allclose(a.positions, b.positions, atol=5e-4)
         np.testing.assert_array_equal(a.alive, b.alive)
+
+
+def test_sharded_pair_batch_equals_single(clip_batch):
+    """DP sharding composed with the pair-batched pipeline: the sharded
+    path must route through shard_map(track_clips_pairflow) — each device
+    chains its local clip shard through shared kernel launches, never a
+    vmapped batch dim over the manual-DMA kernels — and match the
+    single-device pairflow run. Covers both metrics reduction and the
+    pallas-interpret kernels (the production composition)."""
+    clips, seeds = clip_batch
+    cfg = RunConfig(flow=FlowConfig(levels=2, fast_warp=4),
+                    tracks=TrackConfig(num_tracks=4, reinit=False),
+                    impl="pallas", pallas_interpret=True, pair_batch=True)
+    mesh = make_mesh(4)
+    single = track_clips_batch(clips[:4], cfg, seeds=seeds[:4])
+    sharded, metrics = track_clips_sharded(clips[:4], cfg, mesh=mesh,
+                                           seeds=seeds[:4],
+                                           reduce_metrics=True)
+    for a, b in zip(single, sharded):
+        assert np.array_equal(a.alive, b.alive)
+        np.testing.assert_allclose(a.positions, b.positions, atol=1e-5)
+    assert np.isfinite(metrics["mean_nis"])
+    assert metrics["live_fraction"].shape == (4,)
