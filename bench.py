@@ -507,11 +507,17 @@ def bench_flow_pixel_ekf(h=480, w=854, t=9):
     from kalman_hydra_tpu import pipeline as pl
     from kalman_hydra_tpu.config import FlowConfig, RunConfig
 
+    impl = os.environ.get("KH_IMPL", "xla")
     cfg = RunConfig(
         flow=FlowConfig(**_env_flow_overrides(dict(
             fast_warp=int(os.environ.get("KH_FAST_WARP", "8")),
             bf16_poly=os.environ.get("KH_BF16_POLY", "1") == "1"))),
-        impl=os.environ.get("KH_IMPL", "xla"))
+        # pair-batched flow precompute: same default rule as the tracked
+        # pipeline (on for pallas cold Farneback, off for XLA — measured
+        # BASELINE.md round-4); KH_PAIR_BATCH overrides
+        pair_batch=(os.environ.get(
+            "KH_PAIR_BATCH", "1" if impl == "pallas" else "0") == "1"),
+        impl=impl)
     frames, _ = make_clip(t, h, w)
     frames_d = jnp.asarray(frames)
 

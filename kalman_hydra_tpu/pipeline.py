@@ -607,7 +607,24 @@ def flow_sequence(frames, cfg: RunConfig, smooth: bool = False):
     """
     grays = grayscale_u8(frames)
 
-    if cfg.flow.method == "farneback":
+    if cfg.pair_batch and cfg.flow.method == "farneback":
+        # pair-batched front end (RunConfig.pair_batch): all T-1 pairs
+        # share each batched kernel launch — the same launch-amortization
+        # lever as track_arrays_pairflow (+25% at the cfg2 480p clip,
+        # BASELINE.md round-4); per-pair math identical to the scan below
+        # (cold per-pair mode only — RunConfig validation already rejects
+        # temporal_init with pair_batch)
+        from .ops.farneback import (farneback_pairs_from_pyramids,
+                                    polyexp_pyramid_batch)
+        impl = _effective_impl(cfg)
+        Rs = polyexp_pyramid_batch(grays, cfg.flow, impl=impl,
+                                   interpret=cfg.pallas_interpret)
+        flows = farneback_pairs_from_pyramids(
+            Rs, cfg.flow, impl=impl, interpret=cfg.pallas_interpret)
+    elif cfg.pair_batch:                          # lk_dense
+        flows = jax.vmap(lambda a, b: lk_ops.lk_dense(a, b, cfg.flow))(
+            grays[:-1], grays[1:])
+    elif cfg.flow.method == "farneback":
         # carry the cached polyexp pyramid so each interior frame is
         # expanded ONCE, not twice (same caching contract as make_step;
         # a per-pair farneback() call recomputed frame t's polyexp as

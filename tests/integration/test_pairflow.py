@@ -180,6 +180,32 @@ class TestPairflowPipeline:
                                        atol=2e-4)
             np.testing.assert_array_equal(got["alive"][b], ref["alive"])
 
+    @pytest.mark.parametrize("impl", ["xla", "pallas"])
+    def test_flow_sequence_matches_scan(self, impl):
+        """flow_sequence (config 2's contract path, incl. the per-pixel
+        EKF smoothing stage) through the pair-batched front end matches
+        the per-frame scan."""
+        frames = jnp.asarray(_clip())
+        base = RunConfig(flow=FB, impl=impl,
+                         pallas_interpret=(impl == "pallas"))
+        if impl == "pallas":
+            import dataclasses
+            base = base.replace(flow=dataclasses.replace(
+                base.flow, fast_warp=4, bf16_poly=False))
+        for smooth in (False, True):
+            ref = np.asarray(pl.flow_sequence(frames, base, smooth=smooth))
+            got = np.asarray(pl.flow_sequence(
+                frames, base.replace(pair_batch=True), smooth=smooth))
+            np.testing.assert_allclose(got, ref, atol=2e-4)
+
+    def test_flow_sequence_lk_dense_matches_scan(self):
+        frames = jnp.asarray(_clip())
+        cfg = RunConfig(flow=FlowConfig(method="lk_dense", levels=3))
+        ref = np.asarray(pl.flow_sequence(frames, cfg))
+        got = np.asarray(pl.flow_sequence(frames,
+                                          cfg.replace(pair_batch=True)))
+        np.testing.assert_allclose(got, ref, atol=2e-4)
+
     def test_config_validation(self):
         with pytest.raises(ValueError, match="pair_batch"):
             RunConfig(flow=FlowConfig(method="lk_sparse"),
