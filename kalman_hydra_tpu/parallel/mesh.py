@@ -48,6 +48,10 @@ def _track_batch_jit(clips, cfg: RunConfig, with_history: bool = False,
         # pair-batched mode can't ride vmap (the manual-DMA kernels
         # reject a vmapped batch dim); its multi-clip twin chains every
         # clip's pairs through shared launches instead (clip_len)
+        if render_tmpl is not None:
+            raise ValueError(
+                "pair_batch does not support the render channel "
+                "(render_tmpl must be None)")
         return _pipeline.track_clips_pairflow(clips, cfg, with_history,
                                               seeds)
     fn = lambda f, s: _pipeline.track_arrays(f, cfg, with_history, s,
@@ -104,13 +108,15 @@ def track_clips_sharded(clips: np.ndarray, cfg: RunConfig,
         # chains its LOCAL clip shard through shared kernel launches
         # (track_clips_pairflow's clip_len chaining), keeping both the DP
         # contract (BASELINE.json:11) and the shared-launch contract
-        # (BASELINE.json:10) on the pallas path. render channels are
-        # excluded from pair_batch by RunConfig validation, so tmpl_d is
-        # necessarily None here.
+        # (BASELINE.json:10) on the pallas path. RunConfig validation only
+        # constrains ekf.measurement, not the template arg itself — reject
+        # a stray template loudly rather than silently ignoring it.
+        if render_tmpl is not None:
+            raise ValueError(
+                "pair_batch does not support the render channel "
+                "(render_tmpl must be None)")
         outs, metrics = _track_sharded_pairflow(
-            clips_d, cfg, mesh, axis, seeds_d)
-        if not reduce_metrics:
-            metrics = None
+            clips_d, cfg, mesh, axis, seeds_d, reduce_metrics)
     else:
         outs, metrics = _track_sharded_jit(clips_d, cfg, reduce_metrics,
                                            seeds_d, tmpl_d)
@@ -120,15 +126,21 @@ def track_clips_sharded(clips: np.ndarray, cfg: RunConfig,
     return trajs
 
 
-def _track_sharded_pairflow(clips_d, cfg: RunConfig, mesh: Mesh, axis: str,
-                            seeds_d=None):
-    """DP-sharded pair-batched pipeline: shard_map of the multi-clip
-    pairflow path over the data mesh (one pair-batched kernel launch set
-    per device, clips chained via clip_len — never a vmapped batch dim on
-    the manual-DMA kernels). Metrics are pmean-reduced over the mesh axis
-    — the DP path's only collective."""
+@functools.lru_cache(maxsize=32)
+def _pairflow_sharded_fn(cfg: RunConfig, mesh: Mesh, axis: str,
+                         has_seeds: bool, reduce_metrics: bool):
+    """Build (and cache) the jitted shard_map'd pairflow pipeline.
+
+    Module-level cache keyed on the static configuration so repeated
+    calls hit the jit trace/executable cache (on this 1-vCPU host every
+    retrace is a 1-100 s XLA compile) — mirrors _track_batch_jit /
+    _track_sharded_jit, which get this for free from jax.jit's own cache.
+    """
     def local(clips, seeds=None):
         outs = _pipeline.track_clips_pairflow(clips, cfg, False, seeds)
+        if not reduce_metrics:
+            # collective-free hot loop when metrics are not requested
+            return outs, None
         metrics = {
             "mean_nis": jax.lax.pmean(jnp.mean(outs["nis"]), axis),
             "live_fraction": jax.lax.pmean(
@@ -137,16 +149,33 @@ def _track_sharded_pairflow(clips_d, cfg: RunConfig, mesh: Mesh, axis: str,
         }
         return outs, metrics
 
-    # check_vma=False: pallas_call inside the mapped body carries no
-    # varying-mesh-axes annotation (same pattern as parallel/spatial.py)
+    metrics_spec = P() if reduce_metrics else None
+    # check_vma=False ONLY for the pallas path: pallas_call outputs carry
+    # no varying-mesh-axes annotation, which the default shard_map check
+    # rejects; the XLA path keeps the replication safety check (same
+    # policy as parallel/spatial.py)
+    vma = cfg.impl != "pallas"
+    if not has_seeds:
+        return jax.jit(jax.shard_map(
+            lambda c: local(c), mesh=mesh, in_specs=(P(axis),),
+            out_specs=(P(axis), metrics_spec), check_vma=vma))
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), metrics_spec), check_vma=vma))
+
+
+def _track_sharded_pairflow(clips_d, cfg: RunConfig, mesh: Mesh, axis: str,
+                            seeds_d=None, reduce_metrics: bool = False):
+    """DP-sharded pair-batched pipeline: shard_map of the multi-clip
+    pairflow path over the data mesh (one pair-batched kernel launch set
+    per device, clips chained via clip_len — never a vmapped batch dim on
+    the manual-DMA kernels). Metrics (when requested) are pmean-reduced
+    over the mesh axis — the DP path's only collective."""
+    fn = _pairflow_sharded_fn(cfg, mesh, axis, seeds_d is not None,
+                              reduce_metrics)
     if seeds_d is None:
-        fn = jax.shard_map(lambda c: local(c), mesh=mesh,
-                           in_specs=(P(axis),), out_specs=(P(axis), P()),
-                           check_vma=False)
-        return jax.jit(fn)(clips_d)
-    fn = jax.shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
-                       out_specs=(P(axis), P()), check_vma=False)
-    return jax.jit(fn)(clips_d, seeds_d)
+        return fn(clips_d)
+    return fn(clips_d, seeds_d)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "reduce_metrics"))
