@@ -85,6 +85,7 @@ def _env_flow_overrides(flow_kw):
     for env, field, parse in (
             ("KH_FI_TH", "fi_tile_h", int),
             ("KH_FI_SKIP", "fi_shift_skip", lambda v: v == "1"),
+            ("KH_FI_PIPE", "fi_pipeline", lambda v: v == "1"),
             ("KH_FI_LEVEL", "fi_level_fused", lambda v: v == "1"),
             ("KH_PE_FUSED", "pe_fused", lambda v: v == "1"),
             ("KH_PE_TH", "pe_tile_h", int),

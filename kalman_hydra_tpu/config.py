@@ -88,6 +88,13 @@ class FlowConfig:
                                # launch (flow carry on-chip; hardware
                                # parity 1.4e-6; cfg2 480p 1130 -> 1270
                                # fps).
+    fi_pipeline: bool = False  # fine levels run ALL iterations in one
+                               # strip-mined kernel launch (skewed
+                               # software pipeline: iteration j of band i
+                               # at grid step i+j; intermediate flows in
+                               # VMEM rings, R slabs DMA'd once per band
+                               # instead of once per iteration). Exact
+                               # per-iteration semantics; round-5 A/B.
     pe_fused: bool = True      # coarse-level polyexp fused into the
                                # level-image kernel (no HBM round-trip
                                # for coarse level images; +4 fps at

@@ -126,13 +126,14 @@ def _flow_iter_kernel(th: int, w: int, h: int, bw: int, D: int,
         out_ref[1, :, :] = fl_s[slot, 1, D:D + th, base:base + w]
         return
     accs = (vacc, racc) if shift_skip else ()
+    mrows = th + 2 * bw
     return _tile_body(th, w, h, bw, D, weights, shift_skip, diag_skip,
-                      i * th - bw + row0, r0_sl, r1_sl, fl_s, slot,
-                      out_ref, accs)
+                      i * th - bw + row0, r0_sl, r1_sl,
+                      fl_s[slot, :, D:D + mrows, :], out_ref, accs)
 
 
 def _tile_body(th, w, h, bw, D, weights, shift_skip, diag_skip, tile_lo,
-               r0_sl, r1_sl, fl_s, slot, out_ref, accs):
+               r0_sl, r1_sl, flm_in, out_ref, accs, ret=False):
     """The shared per-tile compute of the fused Farneback iteration —
     in-VMEM select-sum warp, averaged-matrix normal equations, OpenCV
     border damping + M edge replication, then _box_solve. The single-pair
@@ -142,7 +143,12 @@ def _tile_body(th, w, h, bw, D, weights, shift_skip, diag_skip, tile_lo,
 
     tile_lo: GLOBAL image row of the M region's first row
     (i*th - bw, plus row0 in the spatially-sharded band mode); h/w are
-    the GLOBAL image dims the border logic replicates at."""
+    the GLOBAL image dims the border logic replicates at.
+
+    flm_in: the prior flow at the M region — (2, mrows, wp) slab rows
+    [D, D+mrows) in the padded column layout (callers slice their flow
+    slab; the pipelined kernel assembles it from VMEM ring buffers).
+    ret=True returns the solved (u, v) instead of storing to out_ref."""
     if shift_skip:
         vacc, racc = accs
     hb = bw + D
@@ -154,7 +160,7 @@ def _tile_body(th, w, h, bw, D, weights, shift_skip, diag_skip, tile_lo,
     R1 = r1_sl.astype(jnp.float32)
     wdt = R1.dtype
     # flow at the M region (slab rows [D, D+mrows))
-    flm = fl_s[slot, :, D:D + mrows, :].astype(jnp.float32)
+    flm = flm_in.astype(jnp.float32)
     dx = flm[0]
     dy = flm[1]
 
@@ -330,10 +336,10 @@ def _tile_body(th, w, h, bw, D, weights, shift_skip, diag_skip, tile_lo,
                                   for m in (m0, m1, m2, m3, m4))
 
     return _box_solve(th, w, bw, weights, diag_skip,
-                      out_ref, (m0, m1, m2, m3, m4))
+                      out_ref, (m0, m1, m2, m3, m4), ret=ret)
 
 
-def _box_solve(th, w, bw, weights, diag_skip, out_ref, ms_in):
+def _box_solve(th, w, bw, weights, diag_skip, out_ref, ms_in, ret=False):
     """Separable winsize smoothing + 2x2 solve (shared kernel tail).
 
     (Rejected A/Bs that lived here — BASELINE.md ledgers: bf16 box
@@ -343,8 +349,17 @@ def _box_solve(th, w, bw, weights, diag_skip, out_ref, ms_in):
 
     out_ref is (2, th, w) or, from the pair-batched kernel, (1, 2, th, w)
     — written through the shared scalar-leading-index idiom
-    (kernels/_store.py — .at[0] views reject on hardware)."""
-    _st = batched_store(out_ref)
+    (kernels/_store.py — .at[0] views reject on hardware). ret=True
+    returns the solved (u, v) values instead (pipelined kernel's
+    intermediate iterations store into VMEM rings, not HBM)."""
+    if ret:
+        assert not diag_skip, "diag knockouts have no return mode"
+        _stash = [None, None]
+
+        def _st(c, val):
+            _stash[c] = val
+    else:
+        _st = batched_store(out_ref)
     m0, m1, m2, m3, m4 = ms_in
     taps = 2 * bw + 1
     box_split = weights is None        # uniform box, 3xA factored
@@ -401,6 +416,8 @@ def _box_solve(th, w, bw, weights, diag_skip, out_ref, ms_in):
     idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
     _st(0, (g22 * h1 - g12 * h2) * idet)
     _st(1, (g11 * h2 - g12 * h1) * idet)
+    if ret:
+        return tuple(_stash)
 
 
 def fi_geometry(h: int, w: int, winsize: int, max_disp: int,
@@ -499,9 +516,10 @@ def _flow_iter_pairs_kernel(th: int, w: int, h: int, bw: int, D: int,
     for c in copies(b, i, slot):
         c.wait()
 
+    mrows = th + 2 * bw
     return _tile_body(th, w, h, bw, D, weights, shift_skip, frozenset(),
-                      i * th - bw, r0_s[slot], r1_s[slot], fl_s, slot,
-                      out_ref, accs)
+                      i * th - bw, r0_s[slot], r1_s[slot],
+                      fl_s[slot, :, D:D + mrows, :], out_ref, accs)
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "max_disp",
@@ -582,6 +600,180 @@ def flow_iter_pairs(Rall: jnp.ndarray, flow_b: jnp.ndarray,
         interpret=interpret,
     )(Rall, fl)
     return out[:, :, :h, :]
+
+
+def _flow_iters_pipe_kernel(th: int, w: int, h: int, bw: int, D: int,
+                            rows: int, n_iters: int, ntiles: int,
+                            weights, shift_skip,
+                            r0_hbm, r1_hbm, fl_hbm, out_ref,
+                            r0_s, r1_s, fl_s, ring, sem_r, sem_f, *accs):
+    """Strip-mined fine-level kernel: ALL n_iters flow iterations in ONE
+    launch via a skewed software pipeline (the round-4 verdict's untried
+    lever — FIXED per-iteration flow halo, unlike the rejected
+    halo-growing cross-iteration fusion, so compute does not amplify).
+
+    Grid step s runs iteration j on band b = s - j for every j in
+    [0, n_iters) with 0 <= b < ntiles — the TPU grid is sequential, so
+    when iteration j+1 of band b runs at step s = b + j + 1, iteration j
+    has already produced bands b-1 (step s-2), b (s-1) and b+1 (s): the
+    bw-row flow halo each iteration needs is available from VMEM ring
+    buffers and intermediate flows NEVER round-trip to HBM. Each band's
+    R0/R1 slabs are DMA'd once into an (n_iters+1)-slot ring and consumed
+    by all its iterations (1/n_iters of the per-iteration slab traffic);
+    only the final iteration's flow is written out.
+
+    ring: ((n_iters-1)*3, 2, th, wp) f32 — iteration j's band outputs
+    live at ring[j*3 + b % 3] in the padded column layout (hb-col edge
+    replication + zero tail, identical to prep_planes' flow layout), so
+    assembling the next iteration's flm slab is three sublane slices."""
+    hb = bw + D
+    mrows = th + 2 * bw
+    nsl = n_iters + 1
+    s = pl.program_id(0)
+    wp = r0_s.shape[-1]
+
+    def r_copies(b, slot):
+        return [
+            pltpu.make_async_copy(r0_hbm.at[:, pl.ds(b * th, rows), :],
+                                  r0_s.at[slot], sem_r.at[slot, 0]),
+            pltpu.make_async_copy(r1_hbm.at[:, pl.ds(b * th, rows), :],
+                                  r1_s.at[slot], sem_r.at[slot, 1]),
+        ]
+
+    def f_copy(b, slot):
+        return [pltpu.make_async_copy(fl_hbm.at[:, pl.ds(b * th, rows), :],
+                                      fl_s.at[slot], sem_f.at[slot])]
+
+    @pl.when(s == 0)
+    def _start_first():
+        for c in r_copies(0, 0) + f_copy(0, 0):
+            c.start()
+
+    @pl.when(s + 1 < ntiles)
+    def _prefetch():
+        for c in (r_copies(s + 1, (s + 1) % nsl)
+                  + f_copy(s + 1, (s + 1) % 2)):
+            c.start()
+
+    @pl.when(s < ntiles)
+    def _wait():
+        for c in r_copies(s, s % nsl) + f_copy(s, s % 2):
+            c.wait()
+
+    def assemble(ridx, b):
+        """flm (2, mrows, wp) for band b from iteration ridx's ring:
+        bw-row tail of band b-1, band b's core, bw-row head of band b+1,
+        with edge replication at the image top/bottom (matches what
+        prep_planes would produce from the cropped flow)."""
+        core = ring[ridx * 3 + b % 3]                       # (2, th, wp)
+        prev = ring[ridx * 3 + (b - 1) % 3, :, th - bw:th, :]
+        nxt = ring[ridx * 3 + (b + 1) % 3, :, 0:bw, :]
+        top = jnp.broadcast_to(core[:, 0:1, :], (2, bw, wp))
+        bot = jnp.broadcast_to(core[:, th - 1:th, :], (2, bw, wp))
+        prev = jnp.where(b > 0, prev, top)
+        nxt = jnp.where(b + 1 < ntiles, nxt, bot)
+        flm = jnp.concatenate([prev, core, nxt], axis=1)    # (2,mrows,wp)
+        # rows at/below the image bottom replicate image row h-1 (the
+        # cropped-flow re-pad semantics); only the last band can have
+        # such rows, and the select-sum row extraction is cheap
+        grow = (jax.lax.broadcasted_iota(jnp.int32, (1, mrows, 1), 1)
+                + b * th - bw)
+        rh = jnp.sum(jnp.where(grow == h - 1, flm, 0.0), axis=1,
+                     keepdims=True)
+        return jnp.where(grow > h - 1, rh, flm)
+
+    def pad_cols(u):
+        """(th, w) core -> (th, wp) padded columns (hb edge + zero tail,
+        prep_planes' column layout)."""
+        left = jnp.broadcast_to(u[:, 0:1], (th, hb))
+        right = jnp.broadcast_to(u[:, w - 1:w], (th, hb))
+        tail = jnp.zeros((th, wp - w - 2 * hb), jnp.float32)
+        return jnp.concatenate([left, u, right, tail], axis=1)
+
+    for j in range(n_iters):
+        @pl.when((s >= j) & (s - j < ntiles))
+        def _phase(j=j):
+            b = s - j
+            rsl = b % nsl
+            if j == 0:
+                flm = fl_s[b % 2, :, D:D + mrows, :]
+            else:
+                flm = assemble(j - 1, b)
+            res = _tile_body(th, w, h, bw, D, weights, shift_skip,
+                             frozenset(), b * th - bw,
+                             r0_s[rsl], r1_s[rsl], flm,
+                             out_ref if j == n_iters - 1 else None,
+                             accs, ret=j < n_iters - 1)
+            if j < n_iters - 1:
+                u, v = res
+                ring[j * 3 + b % 3, 0] = pad_cols(u)
+                ring[j * 3 + b % 3, 1] = pad_cols(v)
+
+
+@functools.partial(jax.jit, static_argnames=("winsize", "max_disp",
+                                             "n_iters", "gaussian",
+                                             "tile_h", "shift_skip",
+                                             "img_hw", "interpret"))
+def flow_iters_pipelined(R0p: jnp.ndarray, R1p: jnp.ndarray,
+                         flow_p: jnp.ndarray, winsize: int, max_disp: int,
+                         n_iters: int, img_hw, gaussian: bool = False,
+                         tile_h: int = 0, shift_skip: bool = True,
+                         interpret: bool = False) -> jnp.ndarray:
+    """All `n_iters` fused Farneback iterations of one level in ONE
+    kernel launch (skewed pipeline — see _flow_iters_pipe_kernel).
+    Per-iteration numerics identical to flow_iter; R0p/R1p arrive
+    PRE-PADDED by prep_planes. Returns (2, h, w) new absolute flow."""
+    if n_iters < 2:
+        raise ValueError("flow_iters_pipelined needs n_iters >= 2 "
+                         "(use flow_iter for a single iteration)")
+    h, w = img_hw
+    D = int(max_disp)
+    weights = _window_weights(winsize, gaussian)
+    th, h_pad, rows, extra, wp, hb, bw = fi_geometry(
+        h, w, winsize, max_disp, tile_h, R0p.dtype.itemsize)
+    if R0p.shape[1:] != (h_pad - h + extra + h + 2 * hb, wp):
+        raise ValueError(
+            f"pre-padded planes {R0p.shape} do not match fi_geometry for "
+            f"img_hw={img_hw}, tile_h={tile_h}")
+
+    def prep(x):
+        x = jnp.pad(x, ((0, 0), (hb, hb), (hb, hb)), mode="edge")
+        return jnp.pad(x, ((0, 0), (0, h_pad - h + extra),
+                           (0, wp - (w + 2 * hb))))
+
+    fl = prep(flow_p)
+    ntiles = h_pad // th
+    mrows = th + 2 * bw
+    nsl = n_iters + 1
+    scratch = [
+        pltpu.VMEM((nsl, 5, rows, wp), R0p.dtype),
+        pltpu.VMEM((nsl, 5, rows, wp), R1p.dtype),
+        pltpu.VMEM((2, 2, rows, wp), jnp.float32),
+        pltpu.VMEM(((n_iters - 1) * 3, 2, th, wp), jnp.float32),
+        pltpu.SemaphoreType.DMA((nsl, 2)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if shift_skip:
+        scratch += [pltpu.VMEM((5, mrows, wp), jnp.float32),
+                    pltpu.VMEM((5, mrows, w + 2 * bw), jnp.float32)]
+
+    K = n_iters - 1
+    out = pl.pallas_call(
+        functools.partial(_flow_iters_pipe_kernel, th, w, h, bw, D, rows,
+                          n_iters, ntiles, weights, shift_skip),
+        grid=(ntiles + K,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec((2, th, w),
+                               lambda s: (0, jnp.maximum(s - K, 0), 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, h_pad, w), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(R0p, R1p, fl)
+    return out[:, :h, :]
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "max_disp",

@@ -488,6 +488,18 @@ def farneback_from_pyramids(Rs_a, Rs_b, cfg: FlowConfig,
             _th = cfg.fi_tile_h
             R0pp = _prep(R0p, cfg.winsize, cfg.fast_warp, tile_h=_th)
             R1pp = _prep(R1p, cfg.winsize, cfg.fast_warp, tile_h=_th)
+            if cfg.fi_pipeline and cfg.iterations >= 2:
+                # strip-mined: ALL iterations in one launch (skewed
+                # pipeline; intermediate flows stay in VMEM rings, R
+                # slabs DMA once per band instead of once per iteration)
+                from ..kernels.flow_iter_pallas import (
+                    flow_iters_pipelined as _fip)
+                flow_p = _fip(R0pp, R1pp, flow_p, cfg.winsize,
+                              cfg.fast_warp, cfg.iterations,
+                              img_hw=(lh, lw), gaussian=cfg.gaussian_win,
+                              tile_h=_th, shift_skip=cfg.fi_shift_skip,
+                              interpret=interpret)
+                continue
             for _ in range(cfg.iterations):
                 flow_p = _fi(R0pp, R1pp, flow_p,
                              cfg.winsize, cfg.fast_warp,

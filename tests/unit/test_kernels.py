@@ -122,6 +122,38 @@ def test_flow_iter_kernel_shift_skip_exact(rng):
         assert float(jnp.abs(got - ref).max()) < 1e-6
 
 
+@pytest.mark.parametrize("n_iters,tile_h,skip,gaussian,bf16", [
+    (3, 16, True, False, False),
+    (3, 16, False, False, False),
+    (2, 32, True, True, False),
+    (3, 16, True, False, True),
+])
+def test_flow_iters_pipelined_matches_sequential(n_iters, tile_h, skip,
+                                                 gaussian, bf16, rng):
+    """The strip-mined all-iterations kernel (skewed pipeline, VMEM flow
+    rings) must reproduce n sequential flow_iter launches exactly —
+    including the inter-iteration crop/re-pad edge semantics and the
+    bottom-band rows beyond the image height."""
+    from kalman_hydra_tpu.kernels.flow_iter_pallas import (
+        flow_iter, flow_iters_pipelined, prep_planes)
+    h, w = 70, 90                      # h_pad > h: bottom band has
+    dt = jnp.bfloat16 if bf16 else jnp.float32   # rows past the image
+    R0 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32)).astype(dt)
+    R1 = jnp.asarray(rng.normal(size=(5, h, w)).astype(np.float32)).astype(dt)
+    fl = jnp.asarray(rng.uniform(-5, 5, (2, h, w)).astype(np.float32))
+    ref = fl
+    for _ in range(n_iters):
+        ref = flow_iter(R0, R1, ref, 15, 8, gaussian, tile_h=tile_h,
+                        shift_skip=skip, interpret=True)
+    R0p = prep_planes(R0, 15, 8, tile_h=tile_h)
+    R1p = prep_planes(R1, 15, 8, tile_h=tile_h)
+    got = flow_iters_pipelined(R0p, R1p, fl, 15, 8, n_iters,
+                               img_hw=(h, w), gaussian=gaussian,
+                               tile_h=tile_h, shift_skip=skip,
+                               interpret=True)
+    assert float(jnp.abs(got - ref).max()) < 1e-5
+
+
 def test_flow_iter_kernel_band_mode(rng):
     """Band mode (row0/img_h): a mid-image slab with its global row
     offset reproduces the full-image rows in the band interior."""
