@@ -87,7 +87,9 @@ def build_kernel(th, h, w, planes, wp, rows, nslots, dtype_name,
             f1 = fl_s[slot, 1, :th, :ww]
         else:
             ww = w
-            a = jax.lax.broadcasted_iota(jnp.float32, (th, w), 1)
+            # Mosaic's tpu.iota is integer-only — iota i32 then cast
+            a = jax.lax.broadcasted_iota(jnp.int32, (th, w), 1).astype(
+                jnp.float32)
             b = a * 0.5
             f0 = a
             f1 = b
@@ -147,7 +149,9 @@ def marginal(comp1, comp2, args, r1, r2):
 
 
 def run_variant(name, th, planes, wp_override, nslots, cwork, do_dma,
-                h=1080, w=1920, dtype_name="bf16", r_pair=(1, 5)):
+                h=1080, w=1920, dtype_name="bf16", r_pair=(8, 72)):
+    # r_pair spans 64 repeats so the measured difference is >=10 ms even
+    # for ~0.15 ms variants — the ~2 ms relay jitter drowned (1, 5)
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -197,6 +201,14 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     recs = []
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    _rv = globals()["run_variant"]
+
+    def run_variant(name, *a, **kw):   # noqa: F811 — argv subset filter
+        if only and not any(s in name for s in only):
+            return {"variant": name, "ms": 0, "mb_moved": 0,
+                    "gbps_eff": 0, "skipped": True}
+        return _rv(name, *a, **kw)
 
     # 1. no-DMA control: launch + grid-step + out-write cost only
     for th in (32, 64, 128):
@@ -224,6 +236,13 @@ def main():
     # 5. compute-overlap dial at S=2 (does compute hide under DMA or
     #    serialize with it?)
     for cw in (2, 16, 32):
+        recs.append(run_variant(f"dma_cw{cw}", 64, 5, None, 2, cw, True))
+
+    # 6. steep compute dial: the slope (ms per FMA pass over the 64x1920
+    #    core) calibrates the VPU's achieved speed on this exact slab
+    #    layout — dividing the real tile body's measured ms by it says
+    #    how many ideal passes the body "costs", vs its op count
+    for cw in (64, 128, 256):
         recs.append(run_variant(f"dma_cw{cw}", 64, 5, None, 2, cw, True))
 
     print("== summary ==", file=sys.stderr)

@@ -53,7 +53,7 @@ def main():
     from kalman_hydra_tpu.io.synthetic import translating_pair
 
     which = set(args) or {"pyramid", "levels", "scharr", "polyexp",
-                          "flow_update", "flow_iter", "pairs",
+                          "flow_update", "flow_iter", "pairs", "pipe",
                           "flow_level", "ekf", "lk"}
     print(f"device: {jax.devices()[0]}; kernels: {sorted(which)}",
           flush=True)
@@ -189,6 +189,31 @@ def main():
                 ok &= check(
                     f"flow_iter_pairs[{bi}] {dt.__name__} "
                     f"({time.time()-t0:.0f}s)", got[bi], ref, tol)
+
+    if "pipe" in which:
+        # strip-mined kernel (round-5: ALL iterations in one launch via a
+        # skewed pipeline) vs n_iters sequential flow_iter launches
+        from kalman_hydra_tpu.kernels.flow_iter_pallas import (
+            flow_iter, flow_iters_pipelined, prep_planes)
+        from kalman_hydra_tpu.ops.farneback import poly_expansion_p
+        R0 = poly_expansion_p(a_d, 5, 1.1)
+        R1 = poly_expansion_p(b_d, 5, 1.1)
+        rng0 = np.random.default_rng(5)
+        fl = jnp.asarray(rng0.uniform(-4, 4, (2,) + a.shape)
+                         .astype(np.float32))
+        for dt, tol, th in ((jnp.float32, 1e-3, 0), (jnp.float32, 1e-3, 64),
+                            (jnp.bfloat16, 0.05, 64)):
+            R0p = prep_planes(R0.astype(dt), 15, 8, tile_h=th)
+            R1p = prep_planes(R1.astype(dt), 15, 8, tile_h=th)
+            ref = fl
+            for _ in range(3):
+                ref = flow_iter(R0p, R1p, ref, 15, 8, False, tile_h=th,
+                                shift_skip=True, img_hw=a.shape)
+            t0 = time.time()
+            got = flow_iters_pipelined(R0p, R1p, fl, 15, 8, 3, a.shape,
+                                       tile_h=th, shift_skip=True)
+            ok &= check(f"fi_pipe {dt.__name__} th={th} "
+                        f"({time.time()-t0:.0f}s)", got, ref, tol)
 
     if "flow_level" in which:
         from kalman_hydra_tpu.kernels.flow_level_pallas import flow_level
