@@ -763,6 +763,20 @@ def main():
     _emit(out)
 
 
+
+def _epe_extra(h, w):
+    """Budget-gated EPE stage for the --config paths: the trailing
+    bench_epe compile must never take down an already-measured fps
+    (cfg4's 256p EPE compile blew the watchdog in the round-5 sweep)."""
+    if not _extras_ok(f"{h}p EPE stage"):
+        return None
+    try:
+        return _retry(lambda: bench_epe(h, w), attempts=2)
+    except Exception as e:  # noqa: BLE001
+        log(f"EPE stage skipped: {type(e).__name__}: {e}")
+        return None
+
+
 def bench_config(n):
     import jax
     import jax.numpy as jnp
@@ -776,7 +790,7 @@ def bench_config(n):
         _set_best({"metric": "fps_per_chip_cfg1_256p",
                    "value": round(fps, 3), "unit": "frames/s/chip",
                    "vs_baseline": None, **x})
-        return fps, bench_epe(256, 256), "fps_per_chip_cfg1_256p", None, x
+        return fps, _epe_extra(256, 256), "fps_per_chip_cfg1_256p", None, x
     if n == 2:
         # the tracked-pipeline number stays the headline `value`; the
         # contract's per-pixel-EKF-inclusive workload (BASELINE.json:8)
@@ -793,7 +807,7 @@ def bench_config(n):
                 _BEST.update(x)
             except Exception as e:  # noqa: BLE001
                 log(f"cfg2 pixel-EKF stage skipped: {type(e).__name__}: {e}")
-        return fps, bench_epe(256, 256), "fps_per_chip_cfg2_480p", 11.4, x
+        return fps, _epe_extra(256, 256), "fps_per_chip_cfg2_480p", 11.4, x
     if n == 3:
         # T=17 at 720p (~23 ms/clip at T=9 was 8.5% spread pair-batched)
         fps, x = bench_fused_pipeline(720, 1280, t=17, num_tracks=1024)
@@ -814,8 +828,8 @@ def bench_config(n):
                 _BEST.update(extra)
             except Exception as e:  # noqa: BLE001
                 log(f"decode-in-loop stage skipped: {type(e).__name__}: {e}")
-        return (fps, bench_epe(256, 256), "fps_per_chip_cfg4_1080p", 1.45,
-                extra)
+        return (fps, _epe_extra(256, 256), "fps_per_chip_cfg4_1080p",
+                1.45, extra)
     if n == 5:
         from jax import lax
         from kalman_hydra_tpu.config import (FlowConfig, RunConfig,
