@@ -555,9 +555,25 @@ def polyexp_pyramid_batch(grays: jnp.ndarray, cfg: FlowConfig,
         from ..kernels.level_image_pallas import coarse_polyexp_fused_batch
         from ..kernels.polyexp_pallas import poly_expansion_planar_batch
         from .pyramid import gaussian_blur_level
-        coarse = coarse_polyexp_fused_batch(
-            grays, cfg.levels, cfg.pyr_scale, cfg.poly_n, cfg.poly_sigma,
-            out_dtype=dt, interpret=interpret)
+        # XLA keeps the whole (N, 5, lh, lw) coarse outputs VMEM-resident
+        # around the kernel's scoped stack; at 1080p that overflows the
+        # scoped budget from N=36 (measured: B=4 multi-clip OOM by 1.5 MB,
+        # BASELINE.md round-5). Split into even chunks of <=33 frames —
+        # every single-clip graph (T<=33) keeps its exact launch shape.
+        N = grays.shape[0]
+        if N > 33:
+            nch = -(-N // 33)
+            per = -(-N // nch)
+            parts = [coarse_polyexp_fused_batch(
+                grays[i:i + per], cfg.levels, cfg.pyr_scale, cfg.poly_n,
+                cfg.poly_sigma, out_dtype=dt, interpret=interpret)
+                for i in range(0, N, per)]
+            coarse = [jnp.concatenate([p[li] for p in parts])
+                      for li in range(len(parts[0]))]
+        else:
+            coarse = coarse_polyexp_fused_batch(
+                grays, cfg.levels, cfg.pyr_scale, cfg.poly_n,
+                cfg.poly_sigma, out_dtype=dt, interpret=interpret)
         img0 = gaussian_blur_level(grays.astype(jnp.float32), cfg, k=0)
         fine = poly_expansion_planar_batch(
             img0, cfg.poly_n, cfg.poly_sigma, out_dtype=dt,
